@@ -1,0 +1,103 @@
+"""Logging, progress, TensorBoard, meters, CSV.
+
+Parity with the reference's observability stack (SURVEY §2.7):
+rich+file logger (/root/reference/train.py:64-75), TensorBoard scalars
+(train.py:145,226-229), timm AverageMeters (train.py:96-97), and the
+predict-side metrics.csv with a mean row (predict.py:186-201).
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+
+def get_logger(config) -> logging.Logger:
+    """Rich console + per-run file logger (reference train.py:64-75)."""
+    log = logging.getLogger(f"gmist.{config.job_name}.{id(config)}")
+    log.setLevel(logging.DEBUG)
+    log.handlers.clear()
+    try:
+        from rich.logging import RichHandler
+
+        log.addHandler(RichHandler())
+    except ImportError:  # headless minimal env
+        log.addHandler(logging.StreamHandler())
+    file_handler = logging.FileHandler(
+        os.path.join(config.hydra_path, f"{config.job_name}.log")
+    )
+    log.addHandler(file_handler)
+    log.propagate = False
+    log.info("Successfully create rich logger")
+    return log
+
+
+class AverageMeter:
+    """timm-style running meter (reference train.py:96-97 usage)."""
+
+    def __init__(self) -> None:
+        self.reset()
+
+    def reset(self) -> None:
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1) -> None:
+        self.val = float(val)
+        self.sum += float(val) * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+
+class TBWriter:
+    """TensorBoard scalar writer rooted at the run dir (train.py:145)."""
+
+    def __init__(self, logdir: str):
+        try:
+            from tensorboardX import SummaryWriter
+
+            self._w = SummaryWriter(logdir)
+        except ImportError:
+            self._w = None
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        if self._w is not None:
+            self._w.add_scalar(tag, float(value), step)
+
+    def close(self) -> None:
+        if self._w is not None:
+            self._w.close()
+
+
+def save_metrics_csv(
+    path: Path,
+    names: Sequence[str],
+    columns: Dict[str, List[float]],
+) -> None:
+    """Per-volume metric rows + a final mean row (predict.py:186-201)."""
+    import numpy as np
+
+    keys = list(columns.keys())
+    with open(path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["name"] + keys)
+        for i, name in enumerate(names):
+            writer.writerow([name] + [columns[k][i] for k in keys])
+        finite = {
+            k: [v for v in columns[k] if v == v and v not in (float("inf"),)]
+            for k in keys
+        }
+        writer.writerow(
+            ["mean"] + [float(np.mean(finite[k])) if finite[k] else float("nan") for k in keys]
+        )
+
+
+def log_config(logger: logging.Logger, config) -> None:
+    """Echo all resolved config keys at startup (train.py:378-381)."""
+    for key, value in config.items():
+        logger.info(f"{key}: {value}")

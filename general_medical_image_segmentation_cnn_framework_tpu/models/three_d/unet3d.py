@@ -1,0 +1,89 @@
+"""3-D U-Net (Çiçek et al.), the framework's flagship model.
+
+Capability parity with the reference's ``UNet3D``
+(/root/reference/models/three_d/unet3d.py:9-104): 4-level encoder/decoder,
+block = (Conv3d k3 p1 -> BN -> ReLU) x2, MaxPool3d(2) downsampling,
+ConvTranspose3d(k2, s2) upsampling, skip concatenation, 1x1x1 head. The
+driver builds it with init_features=32 (/root/reference/train.py:331).
+
+TPU-native: NDHWC channels-last so every conv lands on the MXU; all conv +
+BN + ReLU triples fuse in XLA; optional bfloat16 compute via ``dtype``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...nn.blocks import ConvBlock, TorchConvTranspose, max_pool
+
+
+class UNet3D(nn.Module):
+    in_channels: int = 1
+    out_channels: int = 2
+    init_features: int = 32
+    init_type: str = "none"
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    def _block(self, features: int):
+        kw = dict(
+            kernel_size=3,
+            padding=1,
+            norm="batch",
+            act="relu",
+            init_type=self.init_type,
+            dtype=self.dtype,
+            axis_name=self.axis_name,
+        )
+
+        def block(x, train):
+            x = ConvBlock(features=features, **kw)(x, train)
+            x = ConvBlock(features=features, **kw)(x, train)
+            return x
+
+        return block
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        f = self.init_features
+        up = lambda feats: TorchConvTranspose(
+            features=feats, kernel_size=2, stride=2, init_type=self.init_type, dtype=self.dtype
+        )
+
+        enc1 = self._block(f)(x, train)
+        enc2 = self._block(f * 2)(max_pool(enc1, 2), train)
+        enc3 = self._block(f * 4)(max_pool(enc2, 2), train)
+        enc4 = self._block(f * 8)(max_pool(enc3, 2), train)
+
+        bottleneck = self._block(f * 16)(max_pool(enc4, 2), train)
+
+        dec4 = up(f * 8)(bottleneck)
+        dec4 = self._block(f * 8)(jnp.concatenate([dec4, enc4], axis=-1), train)
+        dec3 = up(f * 4)(dec4)
+        dec3 = self._block(f * 4)(jnp.concatenate([dec3, enc3], axis=-1), train)
+        dec2 = up(f * 2)(dec3)
+        dec2 = self._block(f * 2)(jnp.concatenate([dec2, enc2], axis=-1), train)
+        dec1 = up(f)(dec2)
+        dec1 = self._block(f)(jnp.concatenate([dec1, enc1], axis=-1), train)
+
+        return nn.Conv(
+            features=self.out_channels,
+            kernel_size=(1, 1, 1),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(dec1).astype(jnp.float32)
+
+    @classmethod
+    def from_config(cls, config) -> "UNet3D":
+        # driver call: UNet3D(config.in_classes, config.out_classes, 32)
+        # (/root/reference/train.py:331)
+        return cls(
+            in_channels=config.in_classes,
+            out_channels=config.out_classes,
+            init_features=32,
+            init_type=getattr(config, "init_type", "none"),
+            dtype=jnp.bfloat16 if getattr(config, "precision", "") == "bfloat16" else jnp.float32,
+        )

@@ -1,0 +1,272 @@
+"""Conv / pooling / upsampling blocks, channels-last (NDHWC / NHWC).
+
+TPU-first design notes:
+* channels-last keeps the channel dim on the 128-lane axis so XLA tiles
+  convs straight onto the MXU;
+* all blocks take a ``dtype`` (bfloat16 by default from config.precision)
+  for MXU compute while params stay float32;
+* torch-style integer padding/stride semantics are preserved so every model
+  in the zoo reproduces the reference's exact output shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .init import bias_initializer, kernel_initializer
+from .norm import BatchNorm, InstanceNorm
+
+IntOrTuple = Union[int, Sequence[int]]
+
+
+def _to_tuple(v: IntOrTuple, n: int) -> Tuple[int, ...]:
+    if isinstance(v, int):
+        return (v,) * n
+    t = tuple(v)
+    assert len(t) == n, f"expected length-{n} tuple, got {t}"
+    return t
+
+
+class TorchConv(nn.Module):
+    """nn.Conv with torch-style int padding. Spatial rank inferred from x."""
+
+    features: int
+    kernel_size: IntOrTuple = 3
+    stride: IntOrTuple = 1
+    padding: IntOrTuple = 0
+    dilation: IntOrTuple = 1
+    groups: int = 1
+    use_bias: bool = True
+    init_type: str = "none"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n = x.ndim - 2
+        k = _to_tuple(self.kernel_size, n)
+        s = _to_tuple(self.stride, n)
+        p = _to_tuple(self.padding, n)
+        d = _to_tuple(self.dilation, n)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=k,
+            strides=s,
+            padding=[(pi, pi) for pi in p],
+            kernel_dilation=d,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=kernel_initializer(self.init_type),
+            bias_init=bias_initializer(self.init_type),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class TorchConvTranspose(nn.Module):
+    """ConvTranspose matching torch output-size semantics:
+    out = (in - 1) * stride - 2 * padding + kernel (+ output_padding)."""
+
+    features: int
+    kernel_size: IntOrTuple = 2
+    stride: IntOrTuple = 2
+    padding: IntOrTuple = 0
+    output_padding: IntOrTuple = 0
+    use_bias: bool = True
+    init_type: str = "none"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n = x.ndim - 2
+        k = _to_tuple(self.kernel_size, n)
+        s = _to_tuple(self.stride, n)
+        p = _to_tuple(self.padding, n)
+        op = _to_tuple(self.output_padding, n)
+        # lax transposed conv 'VALID' output: (in-1)*s + k.  Torch crops
+        # `padding` from both ends and appends `output_padding` at the end.
+        y = nn.ConvTranspose(
+            features=self.features,
+            kernel_size=k,
+            strides=s,
+            padding="VALID",
+            use_bias=self.use_bias,
+            kernel_init=kernel_initializer(self.init_type),
+            bias_init=bias_initializer(self.init_type),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        slices = [slice(None)]
+        pads = [(0, 0)]
+        for i in range(n):
+            hi = y.shape[1 + i] - p[i]
+            slices.append(slice(p[i], hi))
+            pads.append((0, op[i]))
+        slices.append(slice(None))
+        pads.append((0, 0))
+        y = y[tuple(slices)]
+        if any(o > 0 for o in op):
+            y = jnp.pad(y, pads)
+        return y
+
+
+def max_pool(x, window: IntOrTuple = 2, stride: Optional[IntOrTuple] = None, padding: IntOrTuple = 0):
+    """torch MaxPoolNd semantics (floor division output size)."""
+    n = x.ndim - 2
+    w = _to_tuple(window, n)
+    s = _to_tuple(stride if stride is not None else window, n)
+    p = _to_tuple(padding, n)
+    pads = tuple((pi, pi) for pi in p)
+    return nn.max_pool(x, window_shape=w, strides=s, padding=pads)
+
+
+def avg_pool(x, window: IntOrTuple = 2, stride: Optional[IntOrTuple] = None, padding: IntOrTuple = 0):
+    n = x.ndim - 2
+    w = _to_tuple(window, n)
+    s = _to_tuple(stride if stride is not None else window, n)
+    p = _to_tuple(padding, n)
+    pads = tuple((pi, pi) for pi in p)
+    return nn.avg_pool(x, window_shape=w, strides=s, padding=pads)
+
+
+def max_pool_with_mask(x):
+    """2x2/stride-2 max pool returning (pooled, one-hot argmax mask).
+
+    TPU-friendly formulation of torch's ``max_pool2d(return_indices=True)``
+    (used by SegNet): instead of integer indices, keep a one-hot window mask
+    [B, H/2, W/2, 4, C] that ``max_unpool_with_mask`` uses to scatter
+    values back — pure reshapes/selects, no gather.
+    """
+    b, h, w, c = x.shape
+    windows = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    windows = windows.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4, c)
+    pooled = jnp.max(windows, axis=3)
+    mask = (windows == pooled[:, :, :, None, :]).astype(x.dtype)
+    # break ties like torch (first max wins): keep only the first match
+    first = jnp.cumsum(mask, axis=3)
+    mask = mask * (first == 1).astype(x.dtype)
+    return pooled, mask
+
+
+def max_unpool_with_mask(x, mask):
+    """Inverse of max_pool_with_mask: place x at the recorded window slots."""
+    b, h, w, c = x.shape
+    windows = x[:, :, :, None, :] * mask  # [B, h, w, 4, C]
+    windows = windows.reshape(b, h, w, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return windows.reshape(b, h * 2, w * 2, c)
+
+
+def global_avg_pool(x):
+    """Adaptive average pool to 1 (squeeze-excite style); keeps [N, 1.., C]."""
+    axes = tuple(range(1, x.ndim - 1))
+    return jnp.mean(x, axis=axes, keepdims=True)
+
+
+def resize_nearest(x, scale: IntOrTuple = 2):
+    """Nearest-neighbor upsample of the spatial dims (torch Upsample(nearest))."""
+    n = x.ndim - 2
+    s = _to_tuple(scale, n)
+    shape = (x.shape[0],) + tuple(x.shape[1 + i] * s[i] for i in range(n)) + (x.shape[-1],)
+    return jax.image.resize(x, shape, method="nearest")
+
+
+def resize_linear(x, scale: IntOrTuple = 2, shape: Optional[Sequence[int]] = None):
+    """Tri/bi-linear upsample, align_corners=False (torch default).
+
+    jax.image.resize('linear') matches torch's align_corners=False
+    half-pixel-center convention.
+    """
+    n = x.ndim - 2
+    if shape is None:
+        s = _to_tuple(scale, n)
+        shape = tuple(x.shape[1 + i] * s[i] for i in range(n))
+    full = (x.shape[0],) + tuple(shape) + (x.shape[-1],)
+    return jax.image.resize(x, full, method="linear")
+
+
+_ACTS: dict = {
+    "relu": nn.relu,
+    "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.01),
+    "elu": nn.elu,
+    "gelu": nn.gelu,
+    "sigmoid": nn.sigmoid,
+    "tanh": jnp.tanh,
+    "none": lambda x: x,
+}
+
+
+class PReLU(nn.Module):
+    """torch.nn.PReLU(num_parameters=1, init=0.25)."""
+
+    num_parameters: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param(
+            "alpha",
+            lambda key, shape: jnp.full(shape, 0.25, jnp.float32),
+            (self.num_parameters,),
+        )
+        a = alpha if self.num_parameters == 1 else alpha.reshape((1,) * (x.ndim - 1) + (-1,))
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
+
+
+class ConvBlock(nn.Module):
+    """Conv -> Norm -> Activation (the zoo's universal building block).
+
+    Covers the reference's `(Conv3d k3p1 -> BN -> ReLU)` U-Net block
+    (/root/reference/models/three_d/unet3d.py:73-104) and variants with
+    InstanceNorm/LeakyReLU etc. XLA fuses the norm+activation into the conv
+    epilogue on TPU.
+    """
+
+    features: int
+    kernel_size: IntOrTuple = 3
+    stride: IntOrTuple = 1
+    padding: IntOrTuple = 1
+    dilation: IntOrTuple = 1
+    norm: str = "batch"  # 'batch' | 'instance' | 'none'
+    act: str = "relu"
+    use_bias: bool = True
+    init_type: str = "none"
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        y = TorchConv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            use_bias=self.use_bias,
+            init_type=self.init_type,
+            dtype=self.dtype,
+        )(x)
+        if self.norm == "batch":
+            y = BatchNorm(
+                use_running_average=not train, dtype=self.dtype, axis_name=self.axis_name
+            )(y)
+        elif self.norm == "instance":
+            y = InstanceNorm(dtype=self.dtype)(y)
+        elif self.norm != "none":
+            raise ValueError(f"unknown norm {self.norm}")
+        if self.act == "prelu":
+            y = PReLU()(y)
+        else:
+            y = _ACTS[self.act](y)
+        return y
+
+
+class Dropout(nn.Module):
+    """Dropout wired to the 'dropout' rng collection; inert in eval."""
+
+    rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return nn.Dropout(rate=self.rate, deterministic=not train)(x)

@@ -1,0 +1,93 @@
+"""Sliding-window whole-volume inference, device-side.
+
+TPU-native re-design of the reference's per-patch Python loop over
+TorchIO's GridSampler/GridAggregator (/root/reference/predict.py:98-147):
+
+* the full volume is placed on device ONCE;
+* patch gathering is a ``vmap`` of ``lax.dynamic_slice`` over a fixed-size
+  batch of grid locations (one compiled program per (volume-shape,
+  batch-size), reused across volumes of the same shape);
+* the model forward + channel argmax runs on the gathered batch;
+* aggregation matches TorchIO's default ``overlap_mode='crop'`` exactly
+  (argmax-before-blend, half-overlap border crop; SURVEY hard-part #2).
+
+The model variables are passed as a jit ARGUMENT (not a closure): closed-
+over parameters are baked into the HLO as constants, which bloats the
+program by the full model size — deadly for remote compilation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pipeline import GridAggregator, grid_locations
+
+
+@partial(jax.jit, static_argnames=("forward", "patch_size"))
+def _forward_tiles(forward, variables, volume, starts, patch_size):
+    """Gather tiles at `starts` from `volume` [X,Y,Z,C], forward, argmax.
+
+    starts: [B, 3] int32. Returns [B, pX, pY, pZ] int32 masks.
+    """
+
+    def gather(start):
+        return jax.lax.dynamic_slice(
+            volume,
+            (start[0], start[1], start[2], 0),
+            patch_size + (volume.shape[-1],),
+        )
+
+    tiles = jax.vmap(gather)(starts)  # [B, pX, pY, pZ, C]
+    logits = forward(variables, tiles)  # [B, pX, pY, pZ, out]
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def sliding_window_predict(
+    forward: Callable,
+    variables,
+    volume: np.ndarray,
+    patch_size: Sequence[int],
+    patch_overlap: Sequence[int],
+    batch_size: int = 4,
+    overlap_mode: str = "crop",
+) -> np.ndarray:
+    """Predict a full volume.
+
+    forward:   jittable ``(variables, tiles[B, pX, pY, pZ, C]) -> logits``.
+               Must be a stable callable (same object across calls) so the
+               jit cache hits across volumes.
+    variables: model params/batch_stats pytree (a jit argument).
+    volume:    [C, X, Y, Z] numpy (already normalized).
+    Returns    [1, X, Y, Z] int mask (aggregated argmax, crop blending),
+    byte-identical to TorchIO's GridAggregator output.
+    """
+    patch_size = tuple(int(p) for p in patch_size)
+    spatial = volume.shape[1:]
+    locations = grid_locations(spatial, patch_size, patch_overlap)
+    n = len(locations)
+
+    vol_dev = jnp.asarray(np.moveaxis(volume, 0, -1))  # [X, Y, Z, C]
+
+    # pad location count to a multiple of batch_size -> single compiled shape
+    n_pad = (-n) % batch_size
+    starts = locations[:, :3].astype(np.int32)
+    if n_pad:
+        starts = np.concatenate([starts, np.repeat(starts[-1:], n_pad, axis=0)])
+
+    aggregator = GridAggregator(
+        spatial, patch_overlap, overlap_mode=overlap_mode, num_channels=1, dtype=np.int32
+    )
+    for off in range(0, len(starts), batch_size):
+        chunk = jnp.asarray(starts[off : off + batch_size])
+        masks = _forward_tiles(forward, variables, vol_dev, chunk, patch_size)
+        masks_np = np.asarray(masks)[:, None]  # [B, 1, pX, pY, pZ]
+        take = min(batch_size, n - off)
+        if take <= 0:
+            break
+        aggregator.add_batch(masks_np[:take], locations[off : off + take])
+    return aggregator.get_output_tensor()

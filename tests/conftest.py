@@ -1,0 +1,92 @@
+"""Test fixtures.
+
+Multi-device testing uses JAX's host-platform device splitting: an 8-device
+CPU mesh without hardware (the JAX-native answer to multi-node testing,
+SURVEY §4). Env vars must be set before jax imports.
+"""
+
+import os
+
+# Force-override: the driver environment pre-sets JAX_PLATFORMS to the real
+# TPU (and its sitecustomize.py imports jax at interpreter start, freezing
+# that env var into jax.config). Tests must run on the 8-device fake CPU
+# mesh, so update the live config rather than the env.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+# Persistent XLA compilation cache: 3-D conv compiles on CPU are slow; cache
+# them across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+@pytest.fixture(scope="session")
+def synthetic_dataset(tmp_path_factory):
+    """Tiny synthetic NIfTI dataset: 3 train + 2 test volumes of 32^3 with a
+    bright ball as foreground."""
+    from general_medical_image_segmentation_cnn_framework_tpu.data.io import (
+        Volume,
+        write_nifti,
+    )
+
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.default_rng(0)
+
+    def make_volume(seed, shape=(32, 32, 32)):
+        r = np.random.default_rng(seed)
+        center = r.uniform(10, 22, size=3)
+        radius = r.uniform(5, 9)
+        coords = np.stack(
+            np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        )
+        dist = np.sqrt(((coords - center[:, None, None, None]) ** 2).sum(0))
+        label = (dist < radius).astype(np.float32)
+        image = label * 2.0 + r.normal(0, 0.3, shape).astype(np.float32)
+        affine = np.diag([1.0, 1.5, 2.0, 1.0])
+        return Volume(image[None], affine), Volume(label[None], affine)
+
+    for split, count, offset in (("train", 3, 0), ("test", 2, 100)):
+        (root / split / "source").mkdir(parents=True)
+        (root / split / "label").mkdir(parents=True)
+        for i in range(count):
+            img, lab = make_volume(offset + i)
+            write_nifti(root / split / "source" / f"vol-{i:02d}.nii.gz", img)
+            write_nifti(root / split / "label" / f"vol-{i:02d}.nii.gz", lab)
+    return root
+
+
+@pytest.fixture()
+def tiny_config(synthetic_dataset, tmp_path):
+    """Composed config pointing at the synthetic dataset, tiny settings."""
+    from general_medical_image_segmentation_cnn_framework_tpu.config import compose
+
+    cfg = compose(
+        [
+            "config=unet",
+            f"config.data_path={synthetic_dataset}/train/source",
+            f"config.gt_path={synthetic_dataset}/train/label",
+            f"config.pred_data_path={synthetic_dataset}/test/source",
+            f"config.pred_gt_path={synthetic_dataset}/test/label",
+            f"config.output_dir={tmp_path}/logs",
+            "config.patch_size=16, 16, 16",
+            "config.batch_size=2",
+            "config.epochs=1",
+            "config.samples_per_volume=4",
+            "config.precision=float32",
+            "config.patch_overlap=4, 4, 4",
+        ],
+        job_name="train",
+        make_run_dir=True,
+    )
+    return cfg

@@ -1,0 +1,123 @@
+"""Losses/metrics numerical parity vs torch (cpu) reference formulas.
+
+torch (CPU build) is available in the test environment, so we check our
+jax implementations directly against torch.nn.BCEWithLogitsLoss and
+hand-computed dice/metric values with the reference's smooth constants.
+"""
+
+import numpy as np
+import pytest
+
+from general_medical_image_segmentation_cnn_framework_tpu import losses, metrics
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def test_bce_with_logits_matches_torch(rng):
+    import torch
+
+    logits = rng.normal(size=(2, 4, 4, 4, 2)).astype(np.float32)
+    targets = (rng.uniform(size=(2, 4, 4, 4, 2)) > 0.5).astype(np.float32)
+    ours = float(losses.bce_with_logits(logits, targets))
+    theirs = float(
+        torch.nn.BCEWithLogitsLoss()(torch.tensor(logits), torch.tensor(targets))
+    )
+    assert abs(ours - theirs) < 1e-5
+
+
+def test_one_hot_background():
+    gt = np.zeros((1, 2, 2, 2, 1), np.float32)
+    gt[0, 0, 0, 0, 0] = 1.0
+    oh = np.asarray(losses.one_hot_background(gt))
+    assert oh.shape == (1, 2, 2, 2, 2)
+    assert oh[0, 0, 0, 0, 0] == 0 and oh[0, 0, 0, 0, 1] == 1
+    assert oh[0, 1, 1, 1, 0] == 1 and oh[0, 1, 1, 1, 1] == 0
+
+
+def test_cross_entropy_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    logits = rng.normal(size=(2, 3, 3, 3, 4)).astype(np.float32)
+    target = rng.integers(0, 4, size=(2, 3, 3, 3))
+    ours = float(losses.cross_entropy(logits, target))
+    # torch cross_entropy_3D equivalent: NLL of log_softmax averaged over voxels
+    lt = torch.tensor(np.moveaxis(logits, -1, 1))
+    tt = torch.tensor(target, dtype=torch.long)
+    theirs = float(F.cross_entropy(lt, tt))
+    assert abs(ours - theirs) < 1e-5
+
+
+def test_binary_dice_loss_hand():
+    pred = np.array([[1.0, 0.0, 1.0, 0.0]])
+    tgt = np.array([[1.0, 1.0, 0.0, 0.0]])
+    # num = 1 + 1 = 2 ; den = 2 + 2 + 1 = 5 ; loss = 1 - 2/5
+    assert abs(float(losses.binary_dice_loss(pred, tgt)) - (1 - 2 / 5)) < 1e-6
+
+
+def test_dice_loss_range(rng):
+    logits = rng.normal(size=(2, 4, 4, 4, 1)).astype(np.float32)
+    tgt = (rng.uniform(size=(2, 4, 4, 4, 1)) > 0.5).astype(np.float32)
+    val = float(losses.dice_loss(logits, tgt))
+    assert 0.0 <= val <= 1.0
+
+
+def test_multiclass_dice_perfect():
+    target = np.zeros((1, 2, 2, 2), np.int32)
+    target[0, 0] = 1
+    onehot = np.eye(2, dtype=np.float32)[target]
+    val = float(losses.multiclass_dice_loss(onehot, target, n_classes=2))
+    assert val < 1e-4
+
+
+def test_seg_metrics_hand():
+    gt = np.zeros((4, 4, 4), int)
+    pred = np.zeros((4, 4, 4), int)
+    gt[:2] = 1  # 32 voxels
+    pred[1:3] = 1  # 32 voxels, 16 overlap
+    jaccard, dice = metrics.seg_metrics(gt, pred)
+    assert abs(jaccard - 16 / (48 + 0.001)) < 1e-9
+    assert abs(dice - 32 / (64 + 0.001)) < 1e-9
+
+
+def test_seg_metrics_with_spacing():
+    gt = np.zeros((8, 8, 8), int)
+    pred = np.zeros((8, 8, 8), int)
+    gt[2:6, 2:6, 2:6] = 1
+    pred[2:6, 2:6, 2:6] = 1
+    precision, recall, jaccard, dice, hd95 = metrics.seg_metrics(
+        gt, pred, spacing=(1.0, 1.0, 1.0)
+    )
+    assert abs(dice - 128 / (128 + 0.001)) < 1e-6
+    assert hd95 == 0.0
+    assert precision > 0.999 and recall > 0.999
+
+
+def test_hausdorff_translation():
+    gt = np.zeros((16, 16, 16), bool)
+    pred = np.zeros((16, 16, 16), bool)
+    gt[4:8, 4:8, 4:8] = True
+    pred[6:10, 4:8, 4:8] = True  # shifted by 2 in x
+    hd = metrics.hausdorff_95(gt, pred, spacing=(1, 1, 1))
+    assert 1.0 <= hd <= 3.0
+    # spacing scales distances
+    hd2 = metrics.hausdorff_95(gt, pred, spacing=(2, 1, 1))
+    assert hd2 > hd
+
+
+def test_device_dice_matches_host(rng):
+    gt = (rng.uniform(size=(2, 8, 8, 8)) > 0.5).astype(np.int32)
+    pred = (rng.uniform(size=(2, 8, 8, 8)) > 0.5).astype(np.int32)
+    j_dev, d_dev = metrics.dice_jaccard(gt, pred)
+    j_host, d_host = metrics.seg_metrics(gt, pred)
+    assert abs(float(j_dev) - j_host) < 1e-5
+    assert abs(float(d_dev) - d_host) < 1e-5
+
+
+def test_focal_loss_reduces_easy_examples():
+    logits = np.array([[10.0]], np.float32)  # confident correct
+    tgt = np.array([[1.0]], np.float32)
+    assert float(losses.focal_loss(logits, tgt)) < 1e-4

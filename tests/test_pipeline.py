@@ -1,0 +1,167 @@
+"""Data pipeline tests: subject pairing, transforms, patch queue, grid."""
+
+import numpy as np
+import pytest
+
+from general_medical_image_segmentation_cnn_framework_tpu.data.io import Volume
+from general_medical_image_segmentation_cnn_framework_tpu.data.pipeline import (
+    GridAggregator,
+    PatchQueueDataset,
+    get_subjects,
+    grid_locations,
+)
+from general_medical_image_segmentation_cnn_framework_tpu.data.transforms import (
+    RandomAffine,
+    RandomBiasField,
+    RandomElasticDeformation,
+    RandomFlip,
+    RandomNoise,
+    Subject,
+    ZNormalization,
+    build_transform,
+)
+
+
+def _subject(shape=(16, 16, 16), seed=0):
+    r = np.random.default_rng(seed)
+    img = r.normal(size=(1,) + shape).astype(np.float32) + 5.0
+    lab = (r.uniform(size=(1,) + shape) > 0.7).astype(np.float32)
+    return Subject(Volume(img), Volume(lab))
+
+
+def test_get_subjects_pairs(tiny_config):
+    pairs = get_subjects(tiny_config)
+    assert len(pairs) == 3
+    for src, gt in pairs:
+        assert src.name == gt.name  # sorted pairing
+
+
+def test_get_subjects_predict_dirs(tiny_config):
+    tiny_config.job_name = "predict"
+    pairs = get_subjects(tiny_config)
+    assert len(pairs) == 2
+
+
+def test_znormalization():
+    s = _subject()
+    rng = np.random.default_rng(0)
+    out = ZNormalization()(s, rng)
+    assert abs(out.source.data.mean()) < 1e-5
+    assert abs(out.source.data.std() - 1.0) < 1e-4
+
+
+def test_random_flip_consistent():
+    s = _subject()
+    src0, gt0 = s.source.data.copy(), s.gt.data.copy()
+    rng = np.random.default_rng(1)  # first uniform < 0.5 -> flip happens
+    out = RandomFlip(axes=(0,), flip_probability=1.0)(s, rng)
+    np.testing.assert_array_equal(out.source.data, src0[:, ::-1])
+    np.testing.assert_array_equal(out.gt.data, gt0[:, ::-1])
+
+
+def test_random_noise_changes_source_only():
+    s = _subject()
+    gt0 = s.gt.data.copy()
+    out = RandomNoise()(s, np.random.default_rng(3))
+    np.testing.assert_array_equal(out.gt.data, gt0)
+
+
+def test_bias_field_positive_multiplier():
+    s = _subject()
+    s.source.data = np.ones_like(s.source.data)
+    out = RandomBiasField()(s, np.random.default_rng(2))
+    assert (out.source.data > 0).all()  # exp(poly) is positive
+    assert out.source.data.std() > 0  # field varies spatially
+
+
+def test_random_affine_label_stays_binary():
+    s = _subject()
+    out = RandomAffine()(s, np.random.default_rng(5))
+    vals = np.unique(out.gt.data)
+    assert set(vals.tolist()) <= {0.0, 1.0}
+    assert out.source.data.shape == (1, 16, 16, 16)
+
+
+def test_elastic_label_stays_binary():
+    s = _subject()
+    out = RandomElasticDeformation()(s, np.random.default_rng(6))
+    assert set(np.unique(out.gt.data).tolist()) <= {0.0, 1.0}
+
+
+def test_build_transform_aug_flag(tiny_config):
+    t_plain = build_transform(tiny_config, is_train=True)
+    assert len(t_plain.transforms) == 1  # just ZNorm when aug=false
+    tiny_config.aug = True
+    t_aug = build_transform(tiny_config, is_train=True)
+    assert len(t_aug.transforms) == 5
+
+
+def test_patch_queue_shapes(tiny_config):
+    ds = PatchQueueDataset(tiny_config)
+    # 3 subjects * 4 samples / bs 2 = 6 batches
+    assert len(ds) == 6
+    batches = list(ds)
+    assert len(batches) == 6
+    x, y = batches[0]
+    assert x.shape == (2, 16, 16, 16, 1)
+    assert y.shape == (2, 16, 16, 16, 1)
+    assert x.dtype == np.float32
+    assert set(np.unique(y).tolist()) <= {0.0, 1.0}
+
+
+def test_patch_queue_reproducible(tiny_config):
+    a = list(PatchQueueDataset(tiny_config))
+    b = list(PatchQueueDataset(tiny_config))
+    np.testing.assert_array_equal(a[0][0], b[0][0])
+
+
+def test_grid_locations_cover_volume():
+    locs = grid_locations((32, 32, 32), (16, 16, 16), (4, 4, 4))
+    cover = np.zeros((32, 32, 32), bool)
+    for i0, j0, k0, i1, j1, k1 in locs:
+        cover[i0:i1, j0:j1, k0:k1] = True
+        assert i1 - i0 == 16 and j1 - j0 == 16 and k1 - k0 == 16
+    assert cover.all()
+    # steps of patch-overlap=12, clamped final start at 16
+    starts = sorted(set(l[0] for l in locs))
+    assert starts == [0, 12, 16]
+
+
+def test_grid_aggregator_crop_mode_partitions():
+    """Crop-mode aggregation of constant patches must reproduce a
+    partition-of-unity write (TorchIO parity)."""
+    shape = (24, 24, 24)
+    patch = (16, 16, 16)
+    overlap = (8, 8, 8)
+    locs = grid_locations(shape, patch, overlap)
+    agg = GridAggregator(shape, overlap, overlap_mode="crop", dtype=np.float32)
+    # write patch index as the value; every voxel must be written exactly once
+    for n, loc in enumerate(locs):
+        patch_data = np.full((1,) + patch, float(n + 1), np.float32)
+        agg.add_batch(patch_data[None], loc[None])
+    out = agg.get_output_tensor()
+    assert (out > 0).all()
+
+
+def test_grid_aggregator_identity_reconstruction():
+    """Aggregating crops of the source volume reconstructs it exactly
+    (this is why gt-through-aggregator == gt in the reference)."""
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(1, 20, 20, 20)).astype(np.float32)
+    patch, overlap = (12, 12, 12), (4, 4, 4)
+    locs = grid_locations(vol.shape[1:], patch, overlap)
+    agg = GridAggregator(vol.shape[1:], overlap, overlap_mode="crop")
+    for loc in locs:
+        i0, j0, k0, i1, j1, k1 = loc
+        agg.add_batch(vol[None, :, i0:i1, j0:j1, k0:k1], loc[None])
+    np.testing.assert_array_equal(agg.get_output_tensor(), vol)
+
+
+def test_grid_aggregator_average_mode():
+    vol_shape = (20, 20, 20)
+    patch, overlap = (12, 12, 12), (4, 4, 4)
+    locs = grid_locations(vol_shape, patch, overlap)
+    agg = GridAggregator(vol_shape, overlap, overlap_mode="average")
+    for loc in locs:
+        agg.add_batch(np.ones((1, 1) + patch, np.float32), loc[None])
+    np.testing.assert_allclose(agg.get_output_tensor(), 1.0)
