@@ -69,7 +69,8 @@ def main() -> None:
             jax.block_until_ready(loss)
             break
         except Exception as e:  # OOM -> halve batch
-            if "RESOURCE_EXHAUSTED" in str(e) or "exhausted" in str(e).lower():
+            msg = str(e).lower()
+            if any(s in msg for s in ("resource_exhausted", "exhausted", "out of memory", "oom")):
                 continue
             raise
     else:

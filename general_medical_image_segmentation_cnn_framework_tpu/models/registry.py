@@ -14,6 +14,18 @@ from flax import linen as nn
 
 _REGISTRY: Dict[str, Callable] = {}
 
+# 2-D networks operate on [B, H, W, C] slices; the drivers adapt 3-D
+# [B, 1, H, W, C] patches by squeezing/re-expanding the depth axis
+# (capability the reference has only at library level, SURVEY §2.4).
+TWO_D_NETWORKS = {
+    "unet2d", "unetpp", "segnet", "fcn2d", "deeplab", "pspnet",
+    "miniseg", "highres2dnet",
+}
+
+
+def is_2d(network: str) -> bool:
+    return network in TWO_D_NETWORKS
+
 
 def register(name: str):
     def deco(factory: Callable):

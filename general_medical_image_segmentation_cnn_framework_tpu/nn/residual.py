@@ -172,7 +172,7 @@ class SEInception(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         y = global_avg_pool(x)  # [B, 1.., C]
-        y = nn.Dense(c // self.reduction, use_bias=False, dtype=self.dtype,
+        y = nn.Dense(max(c // self.reduction, 1), use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.Dense(c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)(y)
@@ -190,7 +190,7 @@ class SEResidual(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         y = global_avg_pool(x)
-        y = nn.Dense(c // self.reduction, use_bias=False, dtype=self.dtype,
+        y = nn.Dense(max(c // self.reduction, 1), use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.Dense(c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)(y)

@@ -40,6 +40,18 @@ def make_forward_fn(config, model):
     (reference predict.py:128-133). Variables are an argument, not a
     closure, so the compiled program doesn't embed the weights as
     constants (see ops/sliding_window.py)."""
+    from .models.registry import is_2d
+
+    if is_2d(config.network):
+
+        def forward(variables, tiles):
+            out = model.apply(variables, tiles[:, 0], train=False)
+            if isinstance(out, tuple):
+                out = out[0]
+            return out[:, None]
+
+        return forward
+
     if config.network == "IS":
 
         def forward(variables, tiles):
@@ -80,6 +92,8 @@ def predict(model=None, config=None, logger=None):
         overlap = tuple(int(v) for v in overlap.split(","))
     elif isinstance(overlap, int):
         overlap = (overlap,) * 3
+    # overlap must stay below the patch extent (e.g. depth-1 slabs for 2-D)
+    overlap = tuple(min(o, p - 1) for o, p in zip(overlap, config.patch_size))
 
     znorm = ZNormalization()
     pre_ls, rec_ls, jac_ls, dice_ls, hs95_ls = [], [], [], [], []

@@ -51,8 +51,32 @@ def make_forward(config, model) -> Callable:
     """Network-specific input prep + output selection.
 
     The IS model takes FFT band-split extra inputs and returns a tuple whose
-    first element is trained on (/root/reference/train.py:198-203).
+    first element is trained on (/root/reference/train.py:198-203). 2-D
+    networks consume [B, H, W, C] slices: a [B, 1, H, W, C] patch is
+    squeezed in and the logits re-expanded.
     """
+    from .models.registry import is_2d
+
+    if is_2d(config.network):
+
+        def forward(variables, x, train, rngs, mutable):
+            assert x.shape[1] == 1, (
+                f"2-D network '{config.network}' needs patch_size '1, H, W', "
+                f"got depth {x.shape[1]}"
+            )
+            out = model.apply(
+                variables, x[:, 0], train=train, rngs=rngs, mutable=mutable
+            )
+            if mutable:
+                pred, updates = out
+            else:
+                pred, updates = out, {}
+            if isinstance(pred, tuple):
+                pred = pred[0]
+            return pred[:, None], updates
+
+        return forward
+
     if config.network == "IS":
 
         def forward(variables, x, train, rngs, mutable):
@@ -84,8 +108,12 @@ def init_train_state(config, model, rng) -> Tuple[Dict, Dict, Any, optax.Gradien
     init_rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
     # jit the init: eager init dispatches each op separately, which is
     # pathological over a remote-TPU transport and slow everywhere
+    from .models.registry import is_2d
+
     if config.network == "IS":
         variables = jax.jit(partial(model.init, train=False))(init_rngs, x0, x0, x0)
+    elif is_2d(config.network):
+        variables = jax.jit(partial(model.init, train=False))(init_rngs, x0[:, 0])
     else:
         variables = jax.jit(partial(model.init, train=False))(init_rngs, x0)
     params = variables["params"]

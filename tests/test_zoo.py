@@ -21,7 +21,7 @@ CASES_3D = [
     ("res_unet", (16, 16, 16), {"base_n_filter": 4}),
     ("vnet", (16, 16, 16), {}),
     ("densevoxelnet", (16, 16, 16), {}),
-    ("densenet", (16, 16, 16), {"num_init_features": 8, "growth_rate": 4, "bn_size": 2}),
+    ("densenet", (16, 16, 16), {"num_init_features": 16, "growth_rate": 8, "bn_size": 2}),
     ("highresnet", (16, 16, 16), {"initial_out_channels_power": 2}),
     ("csrnet", (16, 16, 16), {"init_features": 4}),
     ("er_net", (16, 16, 16), {}),
