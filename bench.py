@@ -4,11 +4,14 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "patches/sec", "vs_baseline": N}
 
-Baseline (BASELINE.md north star): >= 2000 patches/sec on a v5p-8 (8 chips)
-with 128^3 patches. This harness runs on whatever jax.devices() offers (a
-single v5e chip under the driver) and reports absolute patches/sec;
-vs_baseline is value / (2000 / 8 * n_chips), i.e. scaled to the per-chip
-share of the 8-chip target so the number is comparable across pool sizes.
+Baseline (BASELINE.md north star): >= 2000 patches/sec on a v5p-8 with
+128^3 patches. Physics note (recorded in BASELINE.md): a 128^3 train step
+of this U-Net costs ~2.2 TFLOP/patch, so 2000 patches/s would need 4.4
+PFLOPS sustained — above an entire v5p-8's peak. vs_baseline is therefore
+reported against the per-chip share of the target (2000/8 per chip),
+scaled by chip count, as an honest comparable ratio.
+
+Sweeps (batch, remat) configs and reports the fastest.
 """
 
 import json
@@ -19,18 +22,41 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main() -> None:
-    from general_medical_image_segmentation_cnn_framework_tpu.config import ConfigDict
-    from general_medical_image_segmentation_cnn_framework_tpu.models.three_d.unet3d import UNet3D
+def _measure(model, config, bs, patch, n_steps=10):
     from general_medical_image_segmentation_cnn_framework_tpu.train import (
         init_train_state,
         make_train_step,
     )
-    from general_medical_image_segmentation_cnn_framework_tpu.parallel.mesh import (
-        make_mesh,
-        replicate,
-        shard_batch,
+
+    rng = jax.random.PRNGKey(0)
+    params, batch_stats, opt_state, tx = init_train_state(config, model, rng)
+    step = make_train_step(config, model, tx)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(bs, patch, patch, patch, 1)).astype(np.float32)
     )
+    y = jnp.asarray(
+        (np.random.default_rng(1).uniform(size=(bs, patch, patch, patch, 1)) > 0.5).astype(
+            np.float32
+        )
+    )
+    for _ in range(3):
+        params, batch_stats, opt_state, loss, dice = step(
+            params, batch_stats, opt_state, x, y, rng
+        )
+    float(loss)  # hard sync (block_until_ready is unreliable on some
+    # experimental PJRT transports)
+    start = time.perf_counter()
+    for _ in range(n_steps):
+        params, batch_stats, opt_state, loss, dice = step(
+            params, batch_stats, opt_state, x, y, rng
+        )
+    float(loss)
+    return bs * n_steps / (time.perf_counter() - start)
+
+
+def main() -> None:
+    from general_medical_image_segmentation_cnn_framework_tpu.config import ConfigDict
+    from general_medical_image_segmentation_cnn_framework_tpu.models.three_d.unet3d import UNet3D
 
     n_dev = len(jax.devices())
     patch = 128
@@ -39,58 +65,36 @@ def main() -> None:
             "network": "unet",
             "in_classes": 1,
             "out_classes": 2,
-            "patch_size": (patch, patch, patch),
+            "patch_size": (patch,) * 3,
             "init_lr": 1e-3,
             "init_type": "kaiming",
             "precision": "bfloat16",
             "seed": 0,
         }
     )
-    model = UNet3D.from_config(config)
-    rng = jax.random.PRNGKey(0)
-    params, batch_stats, opt_state, tx = init_train_state(config, model, rng)
-    step = make_train_step(config, model, tx)
-    mesh = make_mesh("data=-1")
-    params = replicate(mesh, params)
-    batch_stats = replicate(mesh, batch_stats)
-    opt_state = replicate(mesh, opt_state)
 
-    # find the largest batch that fits (per 16G-HBM chip this lands at 2-4)
-    for bs_per_chip in (4, 2, 1):
-        bs = bs_per_chip * n_dev
+    best = (0.0, None)
+    for bs, remat in ((1, False), (4, True)):
+        model = UNet3D(
+            in_channels=1, out_channels=2, init_features=32,
+            init_type="kaiming", dtype=jnp.bfloat16, remat=remat,
+        )
         try:
-            x = np.random.default_rng(0).normal(size=(bs, patch, patch, patch, 1)).astype(np.float32)
-            y = (np.random.default_rng(1).uniform(size=(bs, patch, patch, patch, 1)) > 0.5).astype(np.float32)
-            batch = shard_batch(mesh, {"x": x, "y": y})
-            for _ in range(3):  # compile + warmup
-                params, batch_stats, opt_state, loss, dice = step(
-                    params, batch_stats, opt_state, batch["x"], batch["y"], rng
-                )
-            jax.block_until_ready(loss)
-            break
-        except Exception as e:  # OOM -> halve batch
+            pps = _measure(model, config, bs * n_dev, patch)
+        except Exception as e:
             msg = str(e).lower()
-            if any(s in msg for s in ("resource_exhausted", "exhausted", "out of memory", "oom")):
+            if any(s in msg for s in ("exhausted", "out of memory", "oom", "http 500")):
                 continue
             raise
-    else:
-        raise RuntimeError("could not fit even bs=1 per chip")
+        if pps > best[0]:
+            best = (pps, (bs, remat))
 
-    n_steps = 10
-    start = time.perf_counter()
-    for _ in range(n_steps):
-        params, batch_stats, opt_state, loss, dice = step(
-            params, batch_stats, opt_state, batch["x"], batch["y"], rng
-        )
-    jax.block_until_ready(loss)
-    elapsed = time.perf_counter() - start
-    patches_per_sec = bs * n_steps / elapsed
-
+    patches_per_sec, (bs, remat) = best[0], best[1]
     per_chip_target = 2000.0 / 8.0 * n_dev
     print(
         json.dumps(
             {
-                "metric": f"unet3d_{patch}cubed_train_throughput_bs{bs}_chips{n_dev}",
+                "metric": f"unet3d_{patch}cubed_train_throughput_bs{bs * n_dev}_remat{int(remat)}_chips{n_dev}",
                 "value": round(patches_per_sec, 2),
                 "unit": "patches/sec",
                 "vs_baseline": round(patches_per_sec / per_chip_target, 4),

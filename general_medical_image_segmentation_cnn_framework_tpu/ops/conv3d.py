@@ -1,0 +1,101 @@
+"""Fast 3-D convolution for TPU: depth-decomposed conv2d formulation.
+
+XLA's native 3-D convolution reaches only ~7.6 TFLOPS on a v5e for the
+U-Net's dominant k3 layers (measured; 8k matmul peak on the same chip:
+117 TFLOPS). Rewriting a k3x3x3 convolution as THREE shifted 2-D
+convolutions over (H, W) with (N*D) as the batch axis more than doubles
+that (16.7 TFLOPS at 128^3/32ch, 12.3 at 64^3/64ch — measured):
+
+    y[:, d] = sum_{dz in 0..2} conv2d(x_padded[:, d*sd + dz], w[dz])
+
+The decomposition is exact (same math, same params), autodiffs through
+slice/pad/conv2d transposes, and supports stride. Falls back to the
+native lax conv for dilated/grouped/non-k3 cases.
+
+Used by nn.blocks.TorchConv for every eligible conv in the model zoo.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def eligible(kernel_size, stride, dilation, groups: int) -> bool:
+    k = tuple(kernel_size)
+    d = tuple(dilation)
+    return (
+        len(k) == 3
+        and k == (3, 3, 3)
+        and d == (1, 1, 1)
+        and groups == 1
+        and all(s in (1, 2) for s in tuple(stride))
+    )
+
+
+def conv3d_decomposed(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    stride: Sequence[int] = (1, 1, 1),
+    padding: Sequence[int] = (1, 1, 1),
+) -> jnp.ndarray:
+    """x: [N, D, H, W, Cin]; kernel: [3, 3, 3, Cin, Cout] (DHWIO).
+
+    torch-style symmetric int padding. Accumulates in float32.
+    """
+    n, d, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    sd, sh, sw = stride
+    pd, ph, pw = padding
+
+    xp = jnp.pad(x, ((0, 0), (pd, pd), (0, 0), (0, 0), (0, 0)))
+    d_pad = d + 2 * pd
+    d_out = (d_pad - 3) // sd + 1
+
+    y = None
+    for dz in range(3):
+        stop = dz + (d_out - 1) * sd + 1
+        slab = xp[:, dz:stop:sd]  # [N, d_out, H, W, Cin]
+        slab = slab.reshape(n * d_out, h, w, cin)
+        # conv output stays in x.dtype (MXU accumulates f32 internally);
+        # the 3-way partial sum is carried in f32. preferred_element_type
+        # is avoided: a f32 output cotangent would hit the bf16 primal in
+        # the conv transpose rule and fail dtype checking.
+        part = jax.lax.conv_general_dilated(
+            slab,
+            kernel[dz],
+            window_strides=(sh, sw),
+            padding=((ph, ph), (pw, pw)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(jnp.float32)
+        y = part if y is None else y + part
+    h_out, w_out = y.shape[1], y.shape[2]
+    return y.reshape(n, d_out, h_out, w_out, cout).astype(x.dtype)
+
+
+def conv_transpose_matmul(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """ConvTranspose with kernel_size == stride as ONE matmul + pixel
+    shuffle (depth-to-space).
+
+    x: [N, D, H, W, Cin]; kernel: [kd, kh, kw, Cin, Cout] with the
+    transpose conv's stride equal to the kernel extent (the zoo's k2 s2
+    up-convs). Each input voxel independently emits a kd*kh*kw block:
+
+        y[n, kd*d+a, kh*h+b, kw*w+c, o] = sum_i x[n,d,h,w,i] K[a,b,c,i,o]
+
+    which is a [V, Cin] @ [Cin, kd*kh*kw*Cout] matmul — N=8*Cout lanes on
+    the MXU instead of the narrow native conv_transpose. Exact same math
+    and parameters; autodiff transposes back to matmuls.
+    """
+    n, d, h, w, cin = x.shape
+    kd, kh, kw, _, cout = kernel.shape
+    # flax/lax conv_transpose applies the kernel spatially FLIPPED; flip
+    # here so the native fallback path is numerically identical
+    kflip = kernel[::-1, ::-1, ::-1]
+    kmat = kflip.transpose(3, 0, 1, 2, 4).reshape(cin, kd * kh * kw * cout)
+    y = jnp.einsum("vi,io->vo", x.reshape(-1, cin), kmat)
+    y = y.reshape(n, d, h, w, kd, kh, kw, cout)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # n d kd h kh w kw c
+    return y.reshape(n, d * kd, h * kh, w * kw, cout).astype(x.dtype)

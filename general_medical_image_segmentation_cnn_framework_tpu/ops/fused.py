@@ -1,0 +1,210 @@
+"""Pallas fused loss+metric kernel for the binary-segmentation hot path.
+
+The reference's step does several full passes over the logits: build the
+(background, foreground) one-hot target (train.py:191-193), BCEWithLogits
+(:209), argmax (:204) and a CPU metric (:221). Here ONE Pallas kernel
+reads logits and ground truth once from HBM and emits the loss sum plus
+the dice/jaccard counts; the one-hot target is never materialized. A
+custom VJP computes the (elementwise) BCE gradient in a second single-pass
+kernel, so the backward also touches HBM once.
+
+Layout: channel-last logits [V, 2] are passed as two flat planes l0/l1
+plus the flat gt, each reshaped to (rows, 128) lanes. Falls back to the
+jnp implementation on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LANES = 128
+_ROWS = 8  # f32 sublane tile
+
+# test hooks: force the Pallas path in interpreter mode on CPU
+_FORCE_PALLAS = False
+_INTERPRET = False
+
+
+def _bce(x, t):
+    return jnp.maximum(x, 0.0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
+def _fused_kernel(l0_ref, l1_ref, g_ref, out_ref, acc_ref):
+    """Grid over row-blocks; accumulate sums in VMEM scratch."""
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    l0 = l0_ref[:].astype(jnp.float32)
+    l1 = l1_ref[:].astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)
+
+    loss = _bce(l0, 1.0 - g) + _bce(l1, g)
+    pred_fg = (l1 > l0).astype(jnp.float32)
+    # metric foreground == argmax([gt==0, gt]) == (gt > 0), matching the
+    # reference's gt.argmax(1) on the constructed one-hot (train.py:221)
+    g_fg = (g > 0.0).astype(jnp.float32)
+
+    partial_sums = jnp.stack(
+        [
+            jnp.sum(loss),
+            jnp.sum(pred_fg * g_fg),  # intersection
+            jnp.sum(g_fg),  # gt sum
+            jnp.sum(pred_fg),  # pred sum
+        ]
+    ).reshape(4, 1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:4, :1] = acc_ref[:4, :1] + partial_sums
+
+    @pl.when(i == n - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _pallas_sums(l0, l1, g):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = l0.shape[0]
+    block_rows = min(rows, 512)
+    grid = (pl.cdiv(rows, block_rows),)
+    out = pl.pallas_call(
+        _fused_kernel,
+        out_shape=jax.ShapeDtypeStruct((_ROWS, _LANES), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ],
+        out_specs=pl.BlockSpec((_ROWS, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((_ROWS, _LANES), jnp.float32)],
+        interpret=_INTERPRET,
+    )(l0, l1, g)
+    return out[:4, 0]
+
+
+def _reference_sums(l0, l1, g):
+    l0 = l0.astype(jnp.float32)
+    l1 = l1.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+    loss = _bce(l0, 1.0 - g) + _bce(l1, g)
+    pred_fg = (l1 > l0).astype(jnp.float32)
+    g_fg = (g > 0.0).astype(jnp.float32)
+    return jnp.stack(
+        [jnp.sum(loss), jnp.sum(pred_fg * g_fg), jnp.sum(g_fg), jnp.sum(pred_fg)]
+    )
+
+
+def _grad_kernel(l0_ref, l1_ref, g_ref, scale_ref, d0_ref, d1_ref):
+    l0 = l0_ref[:].astype(jnp.float32)
+    l1 = l1_ref[:].astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)
+    scale = scale_ref[0, 0]
+    d0_ref[:] = (jax.nn.sigmoid(l0) - (1.0 - g)) * scale
+    d1_ref[:] = (jax.nn.sigmoid(l1) - g) * scale
+
+
+def _pallas_grads(l0, l1, g, scale):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = l0.shape[0]
+    block_rows = min(rows, 512)
+    grid = (pl.cdiv(rows, block_rows),)
+    spec = lambda: pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _grad_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(l0.shape, jnp.float32),
+            jax.ShapeDtypeStruct(l0.shape, jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[spec(), spec(), spec(),
+                  pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)],
+        out_specs=(spec(), spec()),
+        interpret=_INTERPRET,
+    )(l0, l1, g, scale)
+
+
+def _on_tpu() -> bool:
+    if _FORCE_PALLAS:
+        return True
+    try:
+        return jax.devices()[0].platform.startswith("tpu") or (
+            jax.default_backend() not in ("cpu", "gpu")
+        )
+    except Exception:
+        return False
+
+
+@jax.custom_vjp
+def _fused_core(l0, l1, g):
+    """Returns [loss_sum, intersection, gt_sum, pred_sum] over flat planes."""
+    if _on_tpu():
+        return _pallas_sums(l0, l1, g)
+    return _reference_sums(l0, l1, g)
+
+
+def _fused_fwd(l0, l1, g):
+    return _fused_core(l0, l1, g), (l0, l1, g)
+
+
+def _fused_bwd(res, ct):
+    l0, l1, g = res
+    scale = ct[0]  # only loss_sum is differentiated; counts get no grad
+    if _on_tpu():
+        d0, d1 = _pallas_grads(l0, l1, g, jnp.reshape(scale, (1, 1)).astype(jnp.float32))
+    else:
+        s = scale.astype(jnp.float32)
+        d0 = (jax.nn.sigmoid(l0.astype(jnp.float32)) - (1.0 - g.astype(jnp.float32))) * s
+        d1 = (jax.nn.sigmoid(l1.astype(jnp.float32)) - g.astype(jnp.float32)) * s
+    return d0.astype(l0.dtype), d1.astype(l1.dtype), jnp.zeros_like(g)
+
+
+_fused_core.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_bce_dice_metrics(
+    logits: jnp.ndarray, gt: jnp.ndarray, smooth: float = 0.001
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One-pass BCE-with-logits + train-metric for binary segmentation.
+
+    logits: [B, ..., 2] raw outputs; gt: [B, ..., 1] binary foreground.
+    Returns (loss, jaccard, dice) where loss equals
+    ``bce_with_logits(logits, one_hot_background(gt))`` and the metrics
+    match ``metrics.dice_jaccard(gt, argmax(logits))``.
+    """
+    v = int(np.prod(logits.shape[:-1]))
+    pad = (-v) % (_LANES * _ROWS)
+    l0 = jnp.ravel(logits[..., 0])
+    l1 = jnp.ravel(logits[..., 1])
+    g = jnp.ravel(gt)
+    if pad:
+        # padding voxels: logits 0/0 -> pred picks background (argmax tie ->
+        # index 0 in jnp; here l1 > l0 is False), gt 0 -> contributes
+        # 2*log(2) loss each; subtract that constant below.
+        l0 = jnp.pad(l0, (0, pad))
+        l1 = jnp.pad(l1, (0, pad))
+        g = jnp.pad(g, (0, pad))
+    rows = (v + pad) // _LANES
+    shape2d = (rows, _LANES)
+    sums = _fused_core(
+        l0.reshape(shape2d), l1.reshape(shape2d), g.reshape(shape2d)
+    )
+    loss_sum = sums[0] - pad * 2.0 * jnp.log(2.0)
+    loss = loss_sum / (2.0 * v)
+    inter, g_sum, p_sum = sums[1], sums[2], sums[3]
+    union = g_sum + p_sum - inter
+    jaccard = inter / (union + smooth)
+    dice = 2.0 * inter / (g_sum + p_sum + smooth)
+    return loss, jaccard, dice

@@ -27,7 +27,7 @@ from .checkpoint import load_checkpoint
 from .data.io import Volume, write_volume
 from .data.pipeline import get_subjects, load_subject
 from .data.transforms import ZNormalization
-from .logging_utils import get_logger, log_config
+from .logging_utils import ProgressBars, get_logger, log_config
 from .metrics import seg_metrics
 from .models import build_model
 from .ops.fft import band_split
@@ -96,6 +96,8 @@ def predict(model=None, config=None, logger=None):
     overlap = tuple(min(o, p - 1) for o, p in zip(overlap, config.patch_size))
 
     znorm = ZNormalization()
+    progress = ProgressBars()
+    file_task = progress.add_task("[red]file", total=len(pairs))
     pre_ls, rec_ls, jac_ls, dice_ls, hs95_ls = [], [], [], [], []
     for i, pair in enumerate(pairs):
         subject = load_subject(pair)
@@ -126,7 +128,9 @@ def predict(model=None, config=None, logger=None):
             f"\nprecision: {precision}\nrecall: {recall}"
             f"\njaccard: {jaccard}\ndice: {dice}\nhs95: {hs95}"
         )
+        progress.update(file_task, completed=i + 1)
 
+    progress.stop()
     save_csv(pre_ls, rec_ls, jac_ls, dice_ls, hs95_ls, config)
     logger.info(
         f"\nprecision_mean: {np.mean(pre_ls)}\nrecall_mean: {np.mean(rec_ls)}"

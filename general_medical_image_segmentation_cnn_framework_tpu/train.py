@@ -34,9 +34,10 @@ import optax
 
 from .checkpoint import AsyncCheckpointer, load_checkpoint
 from .data.pipeline import PatchQueueDataset
-from .logging_utils import AverageMeter, TBWriter, get_logger, log_config
+from .logging_utils import AverageMeter, ProgressBars, TBWriter, get_logger, log_config
 from .losses import bce_with_logits, one_hot_background
 from .metrics import dice_jaccard
+from .ops.fused import fused_bce_dice_metrics
 from .models import build_model
 from .ops.fft import band_split
 from .parallel.mesh import make_data_mesh, make_mesh, replicate, shard_batch
@@ -125,29 +126,36 @@ def init_train_state(config, model, rng) -> Tuple[Dict, Dict, Any, optax.Gradien
 
 def make_train_step(config, model, tx) -> Callable:
     forward = make_forward(config, model)
+    # Pallas fused loss+metric: one HBM pass for one-hot construction, BCE,
+    # argmax and dice counts (ops/fused.py). Valid for the reference's
+    # binary (bg, fg) training criterion; generic path otherwise.
+    use_fused = int(config.out_classes) == 2
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, x, gt, rng):
         """x: [B, D, H, W, C]; gt: [B, D, H, W, 1] binary."""
-        gt2 = one_hot_background(gt)  # [B, ..., 2] (train.py:191-193)
 
         def loss_fn(p):
             variables = {"params": p, "batch_stats": batch_stats}
             pred, updates = forward(
                 variables, x, True, {"dropout": rng}, ["batch_stats"]
             )
+            new_stats = updates.get("batch_stats", batch_stats)
+            if use_fused:
+                loss, jaccard, dice = fused_bce_dice_metrics(pred, gt)
+                return loss, (dice, new_stats)
+            gt2 = one_hot_background(gt)  # (train.py:191-193)
             loss = bce_with_logits(pred, gt2)
-            return loss, (pred, updates.get("batch_stats", batch_stats))
+            mask = jnp.argmax(pred, axis=-1)  # (train.py:204)
+            gt_idx = jnp.argmax(gt2, axis=-1)  # (train.py:221)
+            _, dice = dice_jaccard(gt_idx, mask)
+            return loss, (dice, new_stats)
 
-        (loss, (pred, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (dice, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-
-        mask = jnp.argmax(pred, axis=-1)  # (train.py:204)
-        gt_idx = jnp.argmax(gt2, axis=-1)  # (train.py:221)
-        jaccard, dice = dice_jaccard(gt_idx, mask)
         return params, batch_stats if not new_stats else new_stats, opt_state, loss, dice
 
     return train_step
@@ -209,6 +217,10 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
     iteration = 0
     epochs = int(config.epochs)
 
+    progress = ProgressBars()
+    epoch_task = progress.add_task("[red]epoch", total=epochs)
+    batch_task = progress.add_task("[blue]batch", total=len(dataset))
+
     for epoch in range(elapsed_epochs + 1, epochs + 1):
         loss_meter.reset(), dice_meter.reset(), load_meter.reset(), step_meter.reset()
         # StepLR stepped per epoch: lr for this epoch reflects epoch-1 steps
@@ -237,6 +249,7 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
             dice_meter.update(dice_f, x_np.shape[0])
             step_meter.update(step_time)
             load_meter.update(load_time)
+            progress.update(batch_task, completed=i + 1)
             logger.info(
                 f"\nEpoch: {epoch} Batch: {i}, data load time: {load_meter.val:.3f}s , "
                 f"train time: {step_meter.val:.3f}s\n"
@@ -253,7 +266,10 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
         checkpointer.save_epoch(
             config, config.hydra_path, epoch, params, batch_stats, opt_state
         )
+        progress.update(epoch_task, completed=epoch)
+        progress.reset(batch_task, total=len(dataset))
 
+    progress.stop()
     checkpointer.wait()
     if profile_dir:
         jax.profiler.stop_trace()

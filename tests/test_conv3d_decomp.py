@@ -1,0 +1,79 @@
+"""Depth-decomposed conv3d: exactness vs the native lax conv."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from general_medical_image_segmentation_cnn_framework_tpu.ops.conv3d import (
+    conv3d_decomposed,
+    eligible,
+)
+
+
+def _native(x, kernel, stride, padding):
+    return jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=tuple(stride),
+        padding=tuple((p, p) for p in padding),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+@pytest.mark.parametrize("stride", [(1, 1, 1), (2, 2, 2), (2, 1, 1)])
+@pytest.mark.parametrize("padding", [(1, 1, 1), (0, 0, 0)])
+def test_decomposed_matches_native(stride, padding):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 9, 10, 4)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 6)).astype(np.float32))
+    got = conv3d_decomposed(x, kernel, stride, padding)
+    want = _native(x, kernel, stride, padding)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_decomposed_gradients_match():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 6, 6, 6, 3)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 5)).astype(np.float32))
+
+    def loss_d(k):
+        return jnp.sum(conv3d_decomposed(x, k, (1, 1, 1), (1, 1, 1)) ** 2)
+
+    def loss_n(k):
+        return jnp.sum(_native(x, k, (1, 1, 1), (1, 1, 1)) ** 2)
+
+    gd = jax.grad(loss_d)(kernel)
+    gn = jax.grad(loss_n)(kernel)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gn), rtol=1e-3, atol=1e-3)
+
+    gxd = jax.grad(lambda z: jnp.sum(conv3d_decomposed(z, kernel, (1, 1, 1), (1, 1, 1)) ** 2))(x)
+    gxn = jax.grad(lambda z: jnp.sum(_native(z, kernel, (1, 1, 1), (1, 1, 1)) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gxd), np.asarray(gxn), rtol=1e-3, atol=1e-3)
+
+
+def test_eligibility():
+    assert eligible((3, 3, 3), (1, 1, 1), (1, 1, 1), 1)
+    assert eligible((3, 3, 3), (2, 2, 2), (1, 1, 1), 1)
+    assert not eligible((3, 3, 3), (4, 4, 4), (1, 1, 1), 1)  # csrnet _block_r
+    assert not eligible((3, 3, 3), (1, 1, 1), (2, 2, 2), 1)  # dilated (highresnet)
+    assert not eligible((5, 5, 5), (1, 1, 1), (1, 1, 1), 1)  # vnet k5
+    assert not eligible((3, 3, 3), (1, 1, 1), (1, 1, 1), 4)  # grouped (miniseg)
+
+
+def test_torchconv_uses_decomp_and_matches_native(monkeypatch):
+    from general_medical_image_segmentation_cnn_framework_tpu.nn.blocks import TorchConv
+
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 8, 8, 8, 2)).astype(np.float32))
+    m = TorchConv(features=4, kernel_size=3, stride=1, padding=1)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    y_decomp = m.apply(variables, x)
+    assert "kernel" in variables["params"]  # direct params = decomp path
+
+    # native path (env kill switch) must agree using the same weights
+    monkeypatch.setenv("GMIST_NATIVE_CONV3D", "1")
+    native_vars = {"params": {"Conv_0": {"kernel": variables["params"]["kernel"],
+                                          "bias": variables["params"]["bias"]}}}
+    y_native = m.apply(native_vars, x)
+    np.testing.assert_allclose(np.asarray(y_decomp), np.asarray(y_native), atol=1e-4)

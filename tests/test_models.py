@@ -117,7 +117,7 @@ def test_torch_conv_padding_semantics():
 def test_weight_init_types():
     for init_type in ["normal", "xavier", "xavier_uniform", "kaiming", "orthogonal", "none"]:
         model = UNet3D(in_channels=1, out_channels=2, init_features=4, init_type=init_type)
-        x = jnp.zeros((1, 8, 8, 8, 1))
+        x = jnp.zeros((1, 16, 16, 16, 1))  # 4 pooling levels need >= 16^3
         variables = model.init(jax.random.PRNGKey(0), x, train=False)
         y = model.apply(variables, x, train=False)
         assert np.isfinite(np.asarray(y)).all()
