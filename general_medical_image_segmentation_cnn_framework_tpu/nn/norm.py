@@ -58,7 +58,8 @@ class BatchNorm(nn.Module):
             n = 1
             for ax in reduce_axes:
                 n *= x.shape[ax]
-            if self.axis_name is not None:
+            if self.axis_name is not None and not self.is_initializing():
+                # (init runs outside the mapped context — no axis bound)
                 mean = jax.lax.pmean(mean, self.axis_name)
                 mean2 = jax.lax.pmean(mean2, self.axis_name)
                 n *= jax.lax.psum(1, self.axis_name)
