@@ -28,8 +28,7 @@ import numpy as np
 from ..data.pipeline import GridAggregator, grid_locations
 
 
-@partial(jax.jit, static_argnames=("forward", "patch_size"))
-def _forward_tiles(forward, variables, volume, starts, patch_size):
+def _forward_tiles_impl(forward, variables, volume, starts, patch_size):
     """Gather tiles at `starts` from `volume` [X,Y,Z,C], forward, argmax.
 
     starts: [B, 3] int32. Returns [B, pX, pY, pZ] int32 masks.
@@ -45,6 +44,30 @@ def _forward_tiles(forward, variables, volume, starts, patch_size):
     tiles = jax.vmap(gather)(starts)  # [B, pX, pY, pZ, C]
     logits = forward(variables, tiles)  # [B, pX, pY, pZ, out]
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+_forward_tiles = partial(jax.jit, static_argnames=("forward", "patch_size"))(
+    _forward_tiles_impl
+)
+
+
+@partial(jax.jit, static_argnames=("forward", "patch_size", "batch_size"))
+def _forward_all_tiles(forward, variables, volume, starts, patch_size, batch_size):
+    """ONE dispatch per volume: lax.scan over tile chunks.
+
+    starts: [n_chunks * batch_size, 3]. Returns [N, pX, pY, pZ] int8 masks.
+    A single XLA program (the SURVEY §7 'batched scan' design) — on
+    high-latency transports this collapses per-chunk dispatch round trips
+    into one.
+    """
+    chunked = starts.reshape(-1, batch_size, 3)
+
+    def body(_, chunk):
+        masks = _forward_tiles_impl(forward, variables, volume, chunk, patch_size)
+        return None, masks.astype(jnp.int8)
+
+    _, masks = jax.lax.scan(body, None, chunked)
+    return masks.reshape(-1, *patch_size)
 
 
 def sliding_window_predict(
@@ -82,12 +105,10 @@ def sliding_window_predict(
     aggregator = GridAggregator(
         spatial, patch_overlap, overlap_mode=overlap_mode, num_channels=1, dtype=np.int32
     )
-    for off in range(0, len(starts), batch_size):
-        chunk = jnp.asarray(starts[off : off + batch_size])
-        masks = _forward_tiles(forward, variables, vol_dev, chunk, patch_size)
-        masks_np = np.asarray(masks)[:, None]  # [B, 1, pX, pY, pZ]
-        take = min(batch_size, n - off)
-        if take <= 0:
-            break
-        aggregator.add_batch(masks_np[:take], locations[off : off + take])
+    all_masks = np.asarray(
+        _forward_all_tiles(
+            forward, variables, vol_dev, jnp.asarray(starts), patch_size, batch_size
+        )
+    )
+    aggregator.add_batch(all_masks[:n, None].astype(np.int32), locations)
     return aggregator.get_output_tensor()
