@@ -71,7 +71,7 @@ class TorchConv(nn.Module):
             kernel = self.param(
                 "kernel",
                 kernel_initializer(self.init_type),
-                (3, 3, 3, cin, self.features),
+                k + (cin, self.features),
                 jnp.float32,
             )
             y = conv3d_decomposed(

@@ -28,7 +28,8 @@ def eligible(kernel_size, stride, dilation, groups: int) -> bool:
     d = tuple(dilation)
     return (
         len(k) == 3
-        and k == (3, 3, 3)
+        and k[0] == k[1] == k[2]
+        and k[0] in (3, 5)  # the zoo's k3 (U-Nets) and k5 (V-Net) convs
         and d == (1, 1, 1)
         and groups == 1
         and all(s in (1, 2) for s in tuple(stride))
@@ -41,21 +42,22 @@ def conv3d_decomposed(
     stride: Sequence[int] = (1, 1, 1),
     padding: Sequence[int] = (1, 1, 1),
 ) -> jnp.ndarray:
-    """x: [N, D, H, W, Cin]; kernel: [3, 3, 3, Cin, Cout] (DHWIO).
+    """x: [N, D, H, W, Cin]; kernel: [k, k, k, Cin, Cout] (DHWIO), k odd.
 
     torch-style symmetric int padding. Accumulates in float32.
     """
     n, d, h, w, cin = x.shape
+    k = kernel.shape[0]
     cout = kernel.shape[-1]
     sd, sh, sw = stride
     pd, ph, pw = padding
 
     xp = jnp.pad(x, ((0, 0), (pd, pd), (0, 0), (0, 0), (0, 0)))
     d_pad = d + 2 * pd
-    d_out = (d_pad - 3) // sd + 1
+    d_out = (d_pad - k) // sd + 1
 
     y = None
-    for dz in range(3):
+    for dz in range(k):
         stop = dz + (d_out - 1) * sd + 1
         slab = xp[:, dz:stop:sd]  # [N, d_out, H, W, Cin]
         slab = slab.reshape(n * d_out, h, w, cin)

@@ -21,16 +21,17 @@ def _native(x, kernel, stride, padding):
     ).astype(x.dtype)
 
 
+@pytest.mark.parametrize("k", [3, 5])
 @pytest.mark.parametrize("stride", [(1, 1, 1), (2, 2, 2), (2, 1, 1)])
-@pytest.mark.parametrize("padding", [(1, 1, 1), (0, 0, 0)])
-def test_decomposed_matches_native(stride, padding):
+@pytest.mark.parametrize("padding", [(1, 1, 1), (0, 0, 0), (2, 2, 2)])
+def test_decomposed_matches_native(k, stride, padding):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(2, 8, 9, 10, 4)).astype(np.float32))
-    kernel = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 6)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(k, k, k, 4, 6)).astype(np.float32))
     got = conv3d_decomposed(x, kernel, stride, padding)
     want = _native(x, kernel, stride, padding)
     assert got.shape == want.shape
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
 def test_decomposed_gradients_match():
@@ -58,8 +59,9 @@ def test_eligibility():
     assert eligible((3, 3, 3), (2, 2, 2), (1, 1, 1), 1)
     assert not eligible((3, 3, 3), (4, 4, 4), (1, 1, 1), 1)  # csrnet _block_r
     assert not eligible((3, 3, 3), (1, 1, 1), (2, 2, 2), 1)  # dilated (highresnet)
-    assert not eligible((5, 5, 5), (1, 1, 1), (1, 1, 1), 1)  # vnet k5
+    assert eligible((5, 5, 5), (1, 1, 1), (1, 1, 1), 1)  # vnet k5
     assert not eligible((3, 3, 3), (1, 1, 1), (1, 1, 1), 4)  # grouped (miniseg)
+    assert not eligible((7, 7, 7), (1, 1, 1), (1, 1, 1), 1)
 
 
 def test_torchconv_uses_decomp_and_matches_native(monkeypatch):
