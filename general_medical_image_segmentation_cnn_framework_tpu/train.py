@@ -204,7 +204,9 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
     opt_state = replicate(mesh, opt_state)
 
     writer = TBWriter(config.hydra_path)
-    dataset = PatchQueueDataset(config, is_train=True)
+    from .data.grain_pipeline import make_dataset
+
+    dataset = make_dataset(config, is_train=True)
     train_step = make_train_step(config, model, tx)
     checkpointer = AsyncCheckpointer()
 
