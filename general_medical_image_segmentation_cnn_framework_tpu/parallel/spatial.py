@@ -85,7 +85,7 @@ def spatial_conv3d(
         mesh=mesh,
         in_specs=(spec, P()),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     x = jax.device_put(x, NamedSharding(mesh, spec))
     return fn(x, kernel)

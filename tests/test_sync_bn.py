@@ -37,7 +37,7 @@ def test_shard_map_sync_bn_matches_global():
         mesh=mesh,
         in_specs=P("data"),
         out_specs=(P("data"), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     x_dev = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
     y_sync, mean_sync, var_sync = sharded(x_dev)
