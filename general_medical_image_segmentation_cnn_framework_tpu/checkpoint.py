@@ -8,7 +8,10 @@ the model weights (predict.py:79-81).
 
 Here: one msgpack file holds ``{params, batch_stats, opt_state, epoch}``
 (the LR schedule is a pure function of the step, so no scheduler state is
-needed — optax schedules recompute from ``epoch``).
+needed — optax schedules recompute from ``epoch``). An orbax backend
+(``config.checkpoint_backend=orbax``) writes the same state as an orbax
+StandardCheckpointer directory instead — the idiomatic choice for
+multi-host/sharded state.
 """
 
 from __future__ import annotations
@@ -62,9 +65,51 @@ def load_checkpoint(path: Union[str, Path], template: Optional[Dict] = None) -> 
     return state
 
 
+def save_checkpoint_orbax(path, params, batch_stats, opt_state, epoch: int) -> None:
+    """Orbax StandardCheckpointer backend (directory-format checkpoint)."""
+    import orbax.checkpoint as ocp
+
+    state = {
+        "params": chunked_device_get(params),
+        "batch_stats": chunked_device_get(batch_stats),
+        "opt_state": serialization.to_state_dict(chunked_device_get(opt_state)),
+        "epoch": epoch,
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(Path(path).resolve(), state, force=True)
+
+
+def load_checkpoint_orbax(path, template: Optional[Dict] = None) -> Dict:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(Path(path).resolve())
+    if template is not None:
+        restored = {}
+        for key, tmpl in template.items():
+            if key == "epoch":
+                restored[key] = int(state["epoch"])
+            else:
+                restored[key] = serialization.from_state_dict(tmpl, state[key])
+        return restored
+    return state
+
+
+def load_any_checkpoint(path, template: Optional[Dict] = None) -> Dict:
+    """Dispatch on checkpoint format: orbax directory vs msgpack file."""
+    if Path(path).is_dir():
+        return load_checkpoint_orbax(path, template)
+    return load_checkpoint(path, template)
+
+
 def save_epoch_checkpoints(config, run_dir: Union[str, Path], epoch: int, **state) -> None:
     """latest every epoch + periodic checkpoint_%04d (train.py:284-306)."""
     run_dir = Path(run_dir)
+    if getattr(config, "checkpoint_backend", "msgpack") == "orbax":
+        save_checkpoint_orbax(run_dir / config.latest_checkpoint_file, epoch=epoch, **state)
+        if epoch % config.epochs_per_checkpoint == 0:
+            save_checkpoint_orbax(run_dir / f"checkpoint_{epoch:04d}.ckpt", epoch=epoch, **state)
+        return
     save_checkpoint(run_dir / config.latest_checkpoint_file, epoch=epoch, **state)
     if epoch % config.epochs_per_checkpoint == 0:
         save_checkpoint(run_dir / f"checkpoint_{epoch:04d}.ckpt", epoch=epoch, **state)

@@ -132,8 +132,9 @@ def compute_mask(dp, hp, wp, window_size, shift_size):
     m = img_mask.reshape(1, d // wd, wd, h // wh, wh, w // ww, ww, 1)
     m = m.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, wd * wh * ww)
     attn_mask = m[:, None, :] - m[:, :, None]
-    attn_mask = np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
-    return jnp.asarray(attn_mask)  # [nW, N, N]
+    # NOTE: return numpy, not jnp — the lru_cache must never hold a traced
+    # device array (it would leak tracers across jit traces)
+    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)  # [nW, N, N]
 
 
 def _relative_position_index(window_size) -> np.ndarray:
@@ -391,7 +392,7 @@ class BasicLayer(nn.Module):
         dp = int(np.ceil(d / window_size[0])) * window_size[0]
         hp = int(np.ceil(h / window_size[1])) * window_size[1]
         wp = int(np.ceil(w / window_size[2])) * window_size[2]
-        attn_mask = compute_mask(dp, hp, wp, window_size, shift_size)
+        attn_mask = jnp.asarray(compute_mask(dp, hp, wp, window_size, shift_size))
 
         cached = {0: (None,) * 3, 1: (None,) * 3}
         for i in range(self.depth):
@@ -440,7 +441,7 @@ class BasicLayerUp(nn.Module):
         dp = int(np.ceil(d / window_size[0])) * window_size[0]
         hp = int(np.ceil(h / window_size[1])) * window_size[1]
         wp = int(np.ceil(w / window_size[2])) * window_size[2]
-        attn_mask = compute_mask(dp, hp, wp, window_size, shift_size)
+        attn_mask = jnp.asarray(compute_mask(dp, hp, wp, window_size, shift_size))
 
         for i in range(self.depth):
             blk = SwinTransformerBlock3D(

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .checkpoint import load_checkpoint
+from .checkpoint import load_any_checkpoint
 from .data.io import Volume, write_volume
 from .data.pipeline import get_subjects, load_subject
 from .data.transforms import ZNormalization
@@ -78,7 +78,7 @@ def predict(model=None, config=None, logger=None):
     # restore weights (reference predict.py:79-81: consumes ckpt["model"])
     rng = jax.random.PRNGKey(0)
     params, batch_stats, _, _ = init_train_state(config, model, rng)
-    state = load_checkpoint(
+    state = load_any_checkpoint(
         config.ckpt, {"params": params, "batch_stats": batch_stats, "epoch": 0}
     )
     variables = {"params": state["params"], "batch_stats": state["batch_stats"]}

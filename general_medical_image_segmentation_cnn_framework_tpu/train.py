@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .checkpoint import AsyncCheckpointer, load_checkpoint
+from .checkpoint import AsyncCheckpointer, load_any_checkpoint
 from .data.pipeline import PatchQueueDataset
 from .logging_utils import AverageMeter, ProgressBars, TBWriter, get_logger, log_config
 from .losses import bce_with_logits, one_hot_background
@@ -192,7 +192,7 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
         ckpt_path = config.ckpt or os.path.join(
             config.hydra_path, config.latest_checkpoint_file
         )
-        restored = load_checkpoint(ckpt_path, template)
+        restored = load_any_checkpoint(ckpt_path, template)
         params = restored["params"]
         batch_stats = restored["batch_stats"]
         opt_state = restored["opt_state"]
