@@ -124,12 +124,36 @@ def init_train_state(config, model, rng) -> Tuple[Dict, Dict, Any, optax.Gradien
     return params, batch_stats, opt_state, tx
 
 
+def make_loss_fn(config) -> Callable:
+    """Configurable criterion over (logits, one-hot target).
+
+    The reference hardcodes BCEWithLogits (train.py:115); ``config.loss``
+    exposes the rest of its loss library: 'bce' (default), 'dice',
+    'focal', 'bce+dice'.
+    """
+    from .losses import dice_loss, focal_loss
+
+    name = getattr(config, "loss", "bce") or "bce"
+    if name == "bce":
+        return bce_with_logits
+    if name == "dice":
+        return dice_loss
+    if name == "focal":
+        return focal_loss
+    if name in ("bce+dice", "dice+bce"):
+        return lambda p, t: bce_with_logits(p, t) + dice_loss(p, t)
+    raise KeyError(f"unknown loss '{name}' (bce | dice | focal | bce+dice)")
+
+
 def make_train_step(config, model, tx) -> Callable:
     forward = make_forward(config, model)
-    # Pallas fused loss+metric: one HBM pass for one-hot construction, BCE,
-    # argmax and dice counts (ops/fused.py). Valid for the reference's
-    # binary (bg, fg) training criterion; generic path otherwise.
-    use_fused = int(config.out_classes) == 2
+    # Fused loss+metric: one pass for one-hot construction, BCE, argmax and
+    # dice counts (ops/fused.py; Pallas opt-in via GMIST_PALLAS_FUSED).
+    # Valid for the reference's default binary BCE criterion; generic path
+    # for other losses / class counts.
+    loss_name = getattr(config, "loss", "bce") or "bce"
+    use_fused = int(config.out_classes) == 2 and loss_name == "bce"
+    criterion = make_loss_fn(config)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, x, gt, rng):
@@ -145,7 +169,7 @@ def make_train_step(config, model, tx) -> Callable:
                 loss, jaccard, dice = fused_bce_dice_metrics(pred, gt)
                 return loss, (dice, new_stats)
             gt2 = one_hot_background(gt)  # (train.py:191-193)
-            loss = bce_with_logits(pred, gt2)
+            loss = criterion(pred, gt2)
             mask = jnp.argmax(pred, axis=-1)  # (train.py:204)
             gt_idx = jnp.argmax(gt2, axis=-1)  # (train.py:221)
             _, dice = dice_jaccard(gt_idx, mask)
