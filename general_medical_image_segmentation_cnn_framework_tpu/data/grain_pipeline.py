@@ -113,13 +113,18 @@ class GrainPatchDataset:
 
 
 def make_dataset(config, is_train: bool = True):
-    """Pipeline factory honoring ``config.data_backend``."""
+    """Pipeline factory honoring ``config.data_backend``
+    (threaded | grain | device)."""
     backend = getattr(config, "data_backend", "threaded")
     if backend == "grain":
         return GrainPatchDataset(
             config, is_train=is_train,
             worker_count=int(getattr(config, "grain_workers", 0)),
         )
+    if backend == "device":
+        from .device_prep import DevicePatchDataset
+
+        return DevicePatchDataset(config, is_train=is_train)
     from .pipeline import PatchQueueDataset
 
     return PatchQueueDataset(config, is_train=is_train)
