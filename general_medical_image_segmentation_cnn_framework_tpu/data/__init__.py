@@ -9,12 +9,16 @@ prefetching patch queue feeding NDHWC batches to the device.
 from .io import Volume, read_volume, write_volume, read_nifti, write_nifti, read_mhd, write_mhd
 from .transforms import (
     Compose,
+    CropOrPad,
     OneOf,
     RandomAffine,
     RandomBiasField,
     RandomElasticDeformation,
     RandomFlip,
     RandomNoise,
+    Resample,
+    RescaleIntensity,
+    ToCanonical,
     ZNormalization,
     build_transform,
 )

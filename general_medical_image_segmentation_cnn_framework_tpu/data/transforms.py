@@ -245,6 +245,118 @@ class RandomElasticDeformation(Transform):
         return subject
 
 
+class RescaleIntensity(Transform):
+    """Linearly map source intensities to [out_min, out_max] using the
+    (p_low, p_high) percentile window (tio.RescaleIntensity semantics)."""
+
+    def __init__(self, out_min_max=(0.0, 1.0), percentiles=(0.0, 100.0)):
+        self.out_min, self.out_max = out_min_max
+        self.percentiles = percentiles
+
+    def __call__(self, subject: Subject, rng: np.random.Generator) -> Subject:
+        data = subject.source.data.astype(np.float32)
+        lo, hi = np.percentile(data, self.percentiles)
+        if hi == lo:
+            subject.source.data = np.full_like(data, self.out_min)
+            return subject
+        data = np.clip(data, lo, hi)
+        data = (data - lo) / (hi - lo) * (self.out_max - self.out_min) + self.out_min
+        subject.source.data = data
+        return subject
+
+
+class CropOrPad(Transform):
+    """Center crop/zero-pad every image to a target spatial shape
+    (tio.CropOrPad semantics, padding split low/high like torchio)."""
+
+    def __init__(self, target_shape: Sequence[int]):
+        self.target = tuple(target_shape)
+
+    def _fix(self, data: np.ndarray) -> np.ndarray:
+        out = data
+        for axis, target in enumerate(self.target, start=1):
+            size = out.shape[axis]
+            if size > target:
+                lo = (size - target) // 2
+                sl = [slice(None)] * out.ndim
+                sl[axis] = slice(lo, lo + target)
+                out = out[tuple(sl)]
+            elif size < target:
+                diff = target - size
+                pads = [(0, 0)] * out.ndim
+                pads[axis] = (diff // 2, diff - diff // 2)
+                out = np.pad(out, pads)
+        return out
+
+    def __call__(self, subject: Subject, rng: np.random.Generator) -> Subject:
+        subject.source.data = self._fix(subject.source.data)
+        if subject.gt is not None:
+            subject.gt.data = self._fix(subject.gt.data)
+        return subject
+
+
+class Resample(Transform):
+    """Resample to a target isotropic spacing (tio.Resample semantics):
+    linear interpolation for the source, nearest for the label; the affine
+    is rescaled accordingly."""
+
+    def __init__(self, target_spacing: float = 1.0):
+        self.target = float(target_spacing)
+
+    def __call__(self, subject: Subject, rng: np.random.Generator) -> Subject:
+        spacing = subject.source.spacing
+        zoom = [s / self.target for s in spacing]
+        if all(abs(z - 1.0) < 1e-6 for z in zoom):
+            return subject
+
+        def apply(vol, order):
+            out = np.stack(
+                [ndimage.zoom(c.astype(np.float32), zoom, order=order) for c in vol.data]
+            )
+            vol.data = out
+            scale = np.diag([1 / z for z in zoom] + [1.0])
+            vol.affine = vol.affine @ scale
+
+        apply(subject.source, order=1)
+        if subject.gt is not None:
+            apply(subject.gt, order=0)
+        return subject
+
+
+class ToCanonical(Transform):
+    """Reorient data to RAS+ axis order using the affine
+    (tio.ToCanonical semantics: axis flips/permutations only)."""
+
+    def __call__(self, subject: Subject, rng: np.random.Generator) -> Subject:
+        affine = subject.source.affine
+        rot = affine[:3, :3]
+        # nearest axis permutation: for each world axis pick dominant voxel axis
+        perm = list(np.argmax(np.abs(rot), axis=1))
+        if sorted(perm) != [0, 1, 2]:
+            return subject  # oblique beyond permutation: leave unchanged
+        flips = [rot[i, perm[i]] < 0 for i in range(3)]
+
+        def apply(vol):
+            data = np.transpose(vol.data, (0,) + tuple(p + 1 for p in perm))
+            for axis, flip in enumerate(flips):
+                if flip:
+                    data = np.flip(data, axis=axis + 1)
+            vol.data = np.ascontiguousarray(data)
+            new_aff = np.eye(4)
+            for i in range(3):
+                sign = -1.0 if flips[i] else 1.0
+                new_aff[:3, i] = sign * affine[:3, perm[i]]
+                if flips[i]:
+                    new_aff[:3, 3] += affine[:3, perm[i]] * (data.shape[i + 1] - 1)
+            new_aff[:3, 3] += affine[:3, 3]
+            vol.affine = new_aff
+
+        apply(subject.source)
+        if subject.gt is not None:
+            apply(subject.gt)
+        return subject
+
+
 def build_transform(config, is_train: bool = True) -> Transform:
     """The reference's transform factory (dataloader.py:69-112): aug pipeline
     when config.aug and training, else plain ZNormalization."""

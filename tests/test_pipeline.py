@@ -165,3 +165,55 @@ def test_grid_aggregator_average_mode():
     for loc in locs:
         agg.add_batch(np.ones((1, 1) + patch, np.float32), loc[None])
     np.testing.assert_allclose(agg.get_output_tensor(), 1.0)
+
+
+def test_rescale_intensity():
+    from general_medical_image_segmentation_cnn_framework_tpu.data.transforms import (
+        RescaleIntensity,
+    )
+
+    s = _subject()
+    out = RescaleIntensity((0.0, 1.0))(s, np.random.default_rng(0))
+    assert out.source.data.min() >= 0.0 and out.source.data.max() <= 1.0
+    assert abs(out.source.data.max() - 1.0) < 1e-6
+
+
+def test_crop_or_pad():
+    from general_medical_image_segmentation_cnn_framework_tpu.data.transforms import (
+        CropOrPad,
+    )
+
+    s = _subject(shape=(16, 16, 16))
+    out = CropOrPad((12, 20, 16))(s, np.random.default_rng(0))
+    assert out.source.spatial_shape == (12, 20, 16)
+    assert out.gt.spatial_shape == (12, 20, 16)
+
+
+def test_resample():
+    from general_medical_image_segmentation_cnn_framework_tpu.data.transforms import (
+        Resample,
+    )
+
+    s = _subject(shape=(8, 8, 8))
+    s.source.affine = np.diag([2.0, 2.0, 2.0, 1.0])
+    s.gt.affine = np.diag([2.0, 2.0, 2.0, 1.0])
+    out = Resample(1.0)(s, np.random.default_rng(0))
+    assert out.source.spatial_shape == (16, 16, 16)
+    assert tuple(round(v, 3) for v in out.source.spacing) == (1.0, 1.0, 1.0)
+    assert set(np.unique(out.gt.data).tolist()) <= {0.0, 1.0}
+
+
+def test_to_canonical():
+    from general_medical_image_segmentation_cnn_framework_tpu.data.transforms import (
+        ToCanonical,
+    )
+
+    s = _subject(shape=(6, 8, 10))
+    # LPS orientation: first two axes flipped
+    s.source.affine = np.diag([-1.0, -1.0, 1.0, 1.0])
+    s.gt.affine = s.source.affine.copy()
+    src0 = s.source.data.copy()
+    out = ToCanonical()(s, np.random.default_rng(0))
+    rot = out.source.affine[:3, :3]
+    assert np.all(np.diag(rot) > 0)  # RAS+ after reorient
+    np.testing.assert_array_equal(out.source.data, src0[:, ::-1, ::-1, :])
