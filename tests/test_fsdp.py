@@ -1,0 +1,77 @@
+"""FSDP-style parameter sharding: same results as replicated training,
+with parameters actually distributed across the mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from general_medical_image_segmentation_cnn_framework_tpu.models import build_model
+from general_medical_image_segmentation_cnn_framework_tpu.parallel.fsdp import (
+    fsdp_shardings,
+    shard_params_fsdp,
+)
+from general_medical_image_segmentation_cnn_framework_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from general_medical_image_segmentation_cnn_framework_tpu.train import (
+    init_train_state,
+    make_train_step,
+)
+
+
+def test_fsdp_spec_selection():
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh("data=-1")
+    tree = {
+        "big": jnp.zeros((3, 3, 3, 32, 64)),  # shard dim 4 (64 % 8 == 0)
+        "small": jnp.zeros((5,)),  # replicated (too small)
+        "odd": jnp.zeros((999, 31)),  # replicated (no divisible dim)
+    }
+    sh = fsdp_shardings(tree, mesh)
+    assert sh["big"].spec == P(None, None, None, None, "data")
+    assert sh["small"].spec == P()
+    assert sh["odd"].spec == P()
+
+
+def test_fsdp_train_step_matches_replicated(tiny_config):
+    tiny_config.batch_size = 8
+    model = build_model(tiny_config)
+    rng = jax.random.PRNGKey(0)
+    mesh = make_mesh("data=-1")
+
+    x = np.random.default_rng(0).normal(size=(8, 16, 16, 16, 1)).astype(np.float32)
+    y = (np.random.default_rng(1).uniform(size=(8, 16, 16, 16, 1)) > 0.5).astype(
+        np.float32
+    )
+
+    results = []
+    for fsdp in (False, True):
+        params, stats, opt, tx = init_train_state(tiny_config, model, rng)
+        step = make_train_step(tiny_config, model, tx)
+        if fsdp:
+            params = shard_params_fsdp(params, mesh)
+            opt = shard_params_fsdp(opt, mesh)
+            stats = replicate(mesh, stats)
+            # verify some parameter is actually sharded
+            shards = [
+                len(p.sharding.spec) > 0 and any(s is not None for s in p.sharding.spec)
+                for p in jax.tree_util.tree_leaves(params)
+            ]
+            assert any(shards), "no parameter got sharded"
+        else:
+            params = replicate(mesh, params)
+            stats = replicate(mesh, stats)
+            opt = replicate(mesh, opt)
+        batch = shard_batch(mesh, {"x": x, "y": y})
+        new_params, _, _, loss, dice = step(params, stats, opt, batch["x"], batch["y"], rng)
+        results.append((jax.device_get(new_params), float(loss), float(dice)))
+
+    (p0, l0, d0), (p1, l1, d1) = results
+    assert abs(l0 - l1) < 1e-5
+    assert abs(d0 - d1) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(a, b, atol=5e-3)
