@@ -223,9 +223,17 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
         elapsed_epochs = restored["epoch"]
         logger.info(f"resumed from {ckpt_path} at epoch {elapsed_epochs}")
 
-    params = replicate(mesh, params)
-    batch_stats = replicate(mesh, batch_stats)
-    opt_state = replicate(mesh, opt_state)
+    if getattr(config, "param_sharding", "replicated") == "fsdp":
+        from .parallel.fsdp import shard_params_fsdp
+
+        params = shard_params_fsdp(params, mesh)
+        opt_state = shard_params_fsdp(opt_state, mesh)
+        batch_stats = replicate(mesh, batch_stats)
+        logger.info("param sharding: fsdp (ZeRO-style over the data axis)")
+    else:
+        params = replicate(mesh, params)
+        batch_stats = replicate(mesh, batch_stats)
+        opt_state = replicate(mesh, opt_state)
 
     writer = TBWriter(config.hydra_path)
     from .data.grain_pipeline import make_dataset
