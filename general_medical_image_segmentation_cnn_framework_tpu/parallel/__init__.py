@@ -1,5 +1,12 @@
 """Parallelism layer: device mesh + sharding helpers."""
 
-from .mesh import make_mesh, parse_mesh_shape, shard_batch, replicate
+from .mesh import init_distributed, make_data_mesh, make_mesh, parse_mesh_shape, shard_batch, replicate
 
-__all__ = ["make_mesh", "parse_mesh_shape", "shard_batch", "replicate"]
+__all__ = [
+    "init_distributed",
+    "make_data_mesh",
+    "make_mesh",
+    "parse_mesh_shape",
+    "shard_batch",
+    "replicate",
+]

@@ -19,6 +19,39 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(config=None) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` when running
+    under a multi-process launcher (SURVEY §2.6's named TPU-native
+    equivalent of the reference's NCCL process group).
+
+    No-op for single-process runs. Coordinator/process env comes from the
+    standard JAX vars (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/
+    ``JAX_PROCESS_ID``) or TPU pod metadata; config keys of the same names
+    (lowercased) override.
+    """
+    import os
+
+    coord = None
+    num = None
+    pid = None
+    if config is not None:
+        coord = getattr(config, "coordinator_address", None)
+        num = getattr(config, "num_processes", None)
+        pid = getattr(config, "process_id", None)
+    coord = coord or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    num = num if num is not None else os.environ.get("JAX_NUM_PROCESSES")
+    if coord is None and num is None:
+        return  # single-process
+    kwargs = {}
+    if coord:
+        kwargs["coordinator_address"] = coord
+    if num is not None:
+        kwargs["num_processes"] = int(num)
+    if pid is not None:
+        kwargs["process_id"] = int(pid)
+    jax.distributed.initialize(**kwargs)
+
+
 def parse_mesh_shape(spec: str, n_devices: Optional[int] = None) -> Dict[str, int]:
     """Parse "data=-1" / "data=4,model=2" into an ordered axis dict."""
     n_devices = n_devices if n_devices is not None else len(jax.devices())

@@ -195,6 +195,9 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
     if getattr(config, "jax_debug_nans", False):
         jax.config.update("jax_debug_nans", True)
 
+    from .parallel.mesh import init_distributed
+
+    init_distributed(config)  # no-op single-process
     mesh = make_data_mesh(
         getattr(config, "mesh_shape", "data=-1"), int(config.batch_size)
     )
