@@ -78,9 +78,16 @@ def predict(model=None, config=None, logger=None):
     # restore weights (reference predict.py:79-81: consumes ckpt["model"])
     rng = jax.random.PRNGKey(0)
     params, batch_stats, _, _ = init_train_state(config, model, rng)
-    state = load_any_checkpoint(
-        config.ckpt, {"params": params, "batch_stats": batch_stats, "epoch": 0}
-    )
+    try:
+        state = load_any_checkpoint(
+            config.ckpt, {"params": params, "batch_stats": batch_stats, "epoch": 0}
+        )
+    except (KeyError, ValueError) as e:
+        raise ValueError(
+            f"checkpoint {config.ckpt!r} does not match network "
+            f"'{config.network}' (trained with a different architecture or "
+            f"settings?): {e}"
+        ) from e
     variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
 
     pairs = get_subjects(config)
