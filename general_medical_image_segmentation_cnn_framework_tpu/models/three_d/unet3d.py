@@ -91,4 +91,5 @@ class UNet3D(nn.Module):
             init_features=32,
             init_type=getattr(config, "init_type", "none"),
             dtype=jnp.bfloat16 if getattr(config, "precision", "") == "bfloat16" else jnp.float32,
+            remat=bool(getattr(config, "remat", False)),
         )
