@@ -128,6 +128,33 @@ def seg_metrics(
     return precision, recall, jaccard, dice, hd95
 
 
+def multiclass_seg_metrics(
+    gt: np.ndarray,
+    pred: np.ndarray,
+    n_classes: int,
+    spacing: Optional[Sequence[float]] = None,
+):
+    """Macro-averaged per-foreground-class metrics (capability extension —
+    the reference's metric() is binary-only). Classes absent from both gt
+    and pred are skipped."""
+    gt = np.asarray(gt).squeeze()
+    pred = np.asarray(pred).squeeze()
+    per_class = []
+    for c in range(1, n_classes):
+        g = gt == c
+        p = pred == c
+        if not g.any() and not p.any():
+            continue
+        per_class.append(seg_metrics(g.astype(int), p.astype(int), spacing))
+    if not per_class:
+        return (0.0, 0.0) if spacing is None else (0.0, 0.0, 0.0, 0.0, float("inf"))
+    finite = np.asarray(
+        [[v if np.isfinite(v) else np.nan for v in row] for row in per_class],
+        dtype=np.float64,
+    )
+    return tuple(np.nanmean(finite, axis=0))
+
+
 def brats_metrics(gt: np.ndarray, wt: np.ndarray, et: np.ndarray, tc: np.ndarray, spacing):
     """BraTS WT/ET/TC wrapper (reference ``all_metric``, metric.py:9-17)."""
     return tuple(

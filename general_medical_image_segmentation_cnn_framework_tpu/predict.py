@@ -28,7 +28,7 @@ from .data.io import Volume, write_volume
 from .data.pipeline import get_subjects, load_subject
 from .data.transforms import ZNormalization
 from .logging_utils import ProgressBars, get_logger, log_config
-from .metrics import seg_metrics
+from .metrics import multiclass_seg_metrics, seg_metrics
 from .models import build_model
 from .ops.fft import band_split
 from .ops.sliding_window import sliding_window_predict
@@ -124,7 +124,12 @@ def predict(model=None, config=None, logger=None):
 
         save_pred(pred_t, affine, i, config)
 
-        precision, recall, jaccard, dice, hs95 = seg_metrics(gt_t, pred_t, spacing)
+        if int(config.out_classes) > 2:
+            precision, recall, jaccard, dice, hs95 = multiclass_seg_metrics(
+                gt_t, pred_t, int(config.out_classes), spacing
+            )
+        else:
+            precision, recall, jaccard, dice, hs95 = seg_metrics(gt_t, pred_t, spacing)
         pre_ls.append(precision)
         rec_ls.append(recall)
         jac_ls.append(jaccard)

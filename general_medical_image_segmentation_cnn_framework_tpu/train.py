@@ -35,7 +35,7 @@ import optax
 from .checkpoint import AsyncCheckpointer, load_any_checkpoint
 from .data.pipeline import PatchQueueDataset
 from .logging_utils import AverageMeter, ProgressBars, TBWriter, get_logger, log_config
-from .losses import bce_with_logits, one_hot_background
+from .losses import bce_with_logits, cross_entropy, one_hot_background
 from .metrics import dice_jaccard
 from .ops.fused import fused_bce_dice_metrics
 from .models import build_model
@@ -152,8 +152,14 @@ def make_train_step(config, model, tx) -> Callable:
     # Valid for the reference's default binary BCE criterion; generic path
     # for other losses / class counts.
     loss_name = getattr(config, "loss", "bce") or "bce"
-    use_fused = int(config.out_classes) == 2 and loss_name == "bce"
-    criterion = make_loss_fn(config)
+    n_classes = int(config.out_classes)
+    use_fused = n_classes == 2 and loss_name == "bce"
+    # Multi-class (out_classes > 2): softmax cross-entropy on integer
+    # labels + foreground dice. The reference's BCE-on-(bg,fg) one-hot
+    # construction only supports binary (train.py:191-193 would shape-
+    # mismatch); this is a capability extension.
+    multiclass = n_classes > 2
+    criterion = make_loss_fn(config) if not multiclass else None
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, x, gt, rng):
@@ -167,6 +173,12 @@ def make_train_step(config, model, tx) -> Callable:
             new_stats = updates.get("batch_stats", batch_stats)
             if use_fused:
                 loss, jaccard, dice = fused_bce_dice_metrics(pred, gt)
+                return loss, (dice, new_stats)
+            if multiclass:
+                labels = gt[..., 0].astype(jnp.int32)
+                loss = cross_entropy(pred, labels)
+                mask = jnp.argmax(pred, axis=-1)
+                _, dice = dice_jaccard(labels > 0, mask > 0)  # foreground dice
                 return loss, (dice, new_stats)
             gt2 = one_hot_background(gt)  # (train.py:191-193)
             loss = criterion(pred, gt2)
