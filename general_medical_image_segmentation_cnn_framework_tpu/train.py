@@ -197,6 +197,49 @@ def make_train_step(config, model, tx) -> Callable:
     return train_step
 
 
+def evaluate(config, model, params, batch_stats, logger) -> float:
+    """Whole-volume validation: sliding-window predict over the val set,
+    returns mean dice. Uses config.val_data_path/val_gt_path."""
+    from .data.pipeline import load_subject
+    from .data.transforms import ZNormalization
+    from .metrics import multiclass_seg_metrics, seg_metrics
+    from .ops.sliding_window import sliding_window_predict
+    from .predict import make_forward_fn
+    from pathlib import Path
+
+    img_dir = Path(config.val_data_path)
+    gt_dir = Path(config.val_gt_path)
+    pairs = list(zip(sorted(img_dir.glob("*.nii.gz")), sorted(gt_dir.glob("*.nii.gz"))))
+    if not pairs:
+        logger.warning(f"no validation volumes under {img_dir}")
+        return float("nan")
+
+    overlap = config.patch_overlap
+    if isinstance(overlap, str):
+        overlap = tuple(int(v) for v in overlap.split(","))
+    elif isinstance(overlap, int):
+        overlap = (overlap,) * 3
+    overlap = tuple(min(o, p - 1) for o, p in zip(overlap, config.patch_size))
+
+    forward = make_forward_fn(config, model)
+    variables = {"params": params, "batch_stats": batch_stats}
+    znorm = ZNormalization()
+    dices = []
+    for pair in pairs:
+        subject = load_subject(pair)
+        src = znorm.normalize_array(subject.source.data)
+        pred = sliding_window_predict(
+            forward, variables, src, config.patch_size, overlap,
+            batch_size=int(config.batch_size),
+        )
+        if int(config.out_classes) > 2:
+            _, dice = multiclass_seg_metrics(subject.gt.data, pred, int(config.out_classes))
+        else:
+            _, dice = seg_metrics(subject.gt.data, pred)
+        dices.append(dice)
+    return float(np.mean(dices))
+
+
 def train(config, model=None, logger=None) -> Dict[str, Any]:
     """Run the training loop; returns the final state (for tests)."""
     if model is None:
@@ -269,6 +312,7 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
     progress = ProgressBars()
     epoch_task = progress.add_task("[red]epoch", total=epochs)
     batch_task = progress.add_task("[blue]batch", total=len(dataset))
+    best_val_dice = float("-inf")
 
     for epoch in range(elapsed_epochs + 1, epochs + 1):
         loss_meter.reset(), dice_meter.reset(), load_meter.reset(), step_meter.reset()
@@ -315,6 +359,28 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
         checkpointer.save_epoch(
             config, config.hydra_path, epoch, params, batch_stats, opt_state
         )
+
+        # optional whole-volume validation + best-checkpoint tracking
+        val_interval = int(getattr(config, "val_interval", 0) or 0)
+        if (
+            val_interval
+            and getattr(config, "val_data_path", None)
+            and epoch % val_interval == 0
+        ):
+            val_dice = evaluate(config, model, params, batch_stats, logger)
+            writer.add_scalar("Validation/dice", val_dice, epoch)
+            logger.info(f"Epoch {epoch} validation dice: {val_dice:.4f}")
+            if val_dice > best_val_dice:
+                best_val_dice = val_dice
+                checkpointer.wait()
+                from .checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    os.path.join(config.hydra_path, "best_checkpoint.ckpt"),
+                    params, batch_stats, opt_state, epoch,
+                )
+                logger.info(f"new best checkpoint (dice {val_dice:.4f})")
+
         progress.update(epoch_task, completed=epoch)
         progress.reset(batch_task, total=len(dataset))
 
