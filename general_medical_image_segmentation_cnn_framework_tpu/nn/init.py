@@ -10,7 +10,6 @@ at weight=1, bias=0 — we reproduce that by leaving norm init at scale=1).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 from jax.nn import initializers as ji
 
 _GAIN = 0.02

@@ -17,7 +17,7 @@ Used by nn.blocks.TorchConv for every eligible conv in the model zoo.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

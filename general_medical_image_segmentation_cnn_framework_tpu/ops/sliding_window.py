@@ -19,7 +19,7 @@ program by the full model size — deadly for remote compilation.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

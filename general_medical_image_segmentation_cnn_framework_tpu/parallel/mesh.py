@@ -12,7 +12,7 @@ statistics become XLA collectives inserted by the compiler.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import numpy as np

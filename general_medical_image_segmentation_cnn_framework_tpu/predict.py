@@ -15,12 +15,10 @@ copy per patch (predict.py:141-142).
 from __future__ import annotations
 
 import os
-from functools import partial
 from pathlib import Path
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .checkpoint import load_any_checkpoint

@@ -33,14 +33,13 @@ import numpy as np
 import optax
 
 from .checkpoint import AsyncCheckpointer, load_any_checkpoint
-from .data.pipeline import PatchQueueDataset
 from .logging_utils import AverageMeter, ProgressBars, TBWriter, get_logger, log_config
 from .losses import bce_with_logits, cross_entropy, one_hot_background
 from .metrics import dice_jaccard
 from .ops.fused import fused_bce_dice_metrics
 from .models import build_model
 from .ops.fft import band_split
-from .parallel.mesh import make_data_mesh, make_mesh, replicate, shard_batch
+from .parallel.mesh import make_data_mesh, replicate, shard_batch
 
 
 def step_lr(init_lr: float, step_size: int, gamma: float, epoch: int) -> float:
