@@ -1,0 +1,137 @@
+"""Pallas fused conv3d(k3, s1) + folded-BatchNorm + ReLU (inference).
+
+The BASELINE north star names "Pallas-fused conv3d+norm+activation
+blocks". For inference, BatchNorm folds into the convolution's weights
+(``fold_batchnorm``), so the whole (Conv -> BN -> ReLU) block becomes ONE
+kernel: each grid step DMAs a 3-deep slab of the pre-padded volume from
+HBM into VMEM, runs the 27 taps as [H*W, Cin] @ [Cin, Cout] MXU matmuls
+accumulated in f32, applies bias + ReLU, and writes one output slab —
+the input is read exactly once.
+
+Status: correct in interpreter mode (tests) AND compiled+validated on a
+real v5e (rel. err ~4e-3 from bf16). The hardware path requires Cin to be
+a lane multiple (Cin % 128 == 0 — the deep-layer regime; Mosaic DMA
+slices must cover tile-aligned extents). First-iteration throughput on
+the tunneled v5e: 2.0 TFLOPS vs 3.0 for XLA's native conv at
+16x32x32x128ch — the 27 value-level window slices relayout per tap; the
+production compute path remains ops/conv3d.py's decomposed form. Kept as
+the foundation for further Mosaic scheduling work on directly-attached
+hardware.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INTERPRET = False  # test hook
+
+
+def fold_batchnorm(
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    bn_scale: jnp.ndarray,
+    bn_bias: jnp.ndarray,
+    bn_mean: jnp.ndarray,
+    bn_var: jnp.ndarray,
+    eps: float = 1e-5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold inference BatchNorm into conv weights:
+    y = scale*(conv(x)+b - mean)/sqrt(var+eps) + beta
+      = conv(x; k*g) + (b - mean)*g + beta,  g = scale/sqrt(var+eps)."""
+    g = bn_scale / jnp.sqrt(bn_var + eps)
+    folded_kernel = kernel * g  # broadcast over [kd,kh,kw,cin,COUT]
+    b = bias if bias is not None else 0.0
+    folded_bias = (b - bn_mean) * g + bn_bias
+    return folded_kernel, folded_bias
+
+
+def _conv_block_kernel(x_ref, w_ref, b_ref, out_ref, scratch, sem, *, h, w, cin, cout, hp, wp):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pl.program_id(0)
+    d = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        # [3, Hp, Wp, Cin] slab; Wp 8-aligned, Cin 128-aligned so the DMA
+        # covers full tile-aligned extents of the (sublane, lane) dims
+        x_ref.at[n, pl.ds(d, 3)],
+        scratch,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    acc = jnp.zeros((h * w, cout), jnp.float32)
+    for dz in range(3):
+        # ref slicing only along the leading (untiled) dim; the shifted
+        # windows are value-level slices (vector relayouts, no memref
+        # tiling constraints)
+        slab = scratch[dz]  # [Hp, Wp, Cin] value
+        for dy in range(3):
+            for dx in range(3):
+                patch = jax.lax.slice(slab, (dy, dx, 0), (dy + h, dx + w, cin))
+                acc = acc + jnp.dot(
+                    patch.reshape(h * w, cin),
+                    w_ref[dz, dy, dx],
+                    preferred_element_type=jnp.float32,
+                )
+    y = jnp.maximum(acc + b_ref[0], 0.0)
+    out_ref[0, 0] = y.reshape(h, w, cout).astype(out_ref.dtype)
+
+
+def fused_conv3d_bn_relu(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray
+) -> jnp.ndarray:
+    """x: [N, D, H, W, Cin]; kernel: [3,3,3,Cin,Cout] (BN pre-folded);
+    'same' padding, stride 1. Returns relu(conv(x)+bias), x.dtype."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    # Mosaic DMA constraint: slices must cover full, tile-aligned extents
+    # of the (sublane, lane) dims -> W+2 padded to 8, Cin must be a lane
+    # multiple (the deep-layer regime, where XLA's native conv3d is
+    # weakest; interpret mode has no such constraint)
+    if cin % 128 != 0 and not _INTERPRET:
+        raise ValueError(
+            f"fused_conv3d_bn_relu hardware path needs Cin % 128 == 0, got {cin}"
+        )
+    hp = h + 2
+    wp = -(-(w + 2) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, wp - w - 1), (0, 0)))
+
+    kern = partial(_conv_block_kernel, h=h, w=w, cin=cin, cout=cout, hp=hp, wp=wp)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, d, h, w, cout), x.dtype),
+        grid=(n, d),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # padded volume stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, h, w, cout), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, hp, wp, cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_INTERPRET,
+    )(xp, kernel.astype(x.dtype), bias.reshape(1, -1).astype(jnp.float32))
+
+
+def reference_conv3d_bn_relu(x, kernel, bias):
+    """Unfused reference composition for parity checks."""
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1, 1), ((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return jnp.maximum(y + bias.astype(y.dtype), 0.0)
