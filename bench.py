@@ -55,7 +55,7 @@ def bench_train(n_steps=10):
     return bs * n_steps / (time.perf_counter() - t0)
 
 
-def bench_inference(n_volumes=3):
+def bench_inference(n_volumes=3, vol_shape=(256, 256, 128), patch=128, batch_size=2):
     from general_medical_image_segmentation_cnn_framework_tpu.config import ConfigDict
     from general_medical_image_segmentation_cnn_framework_tpu.models.three_d.unet3d import UNet3D
     from general_medical_image_segmentation_cnn_framework_tpu.ops.sliding_window import (
@@ -64,7 +64,6 @@ def bench_inference(n_volumes=3):
     from general_medical_image_segmentation_cnn_framework_tpu.predict import make_forward_fn
     from general_medical_image_segmentation_cnn_framework_tpu.train import init_train_state
 
-    patch = 128
     config = ConfigDict(
         {
             "network": "unet", "in_classes": 1, "out_classes": 2,
@@ -76,14 +75,14 @@ def bench_inference(n_volumes=3):
     params, stats, _, _ = init_train_state(config, model, jax.random.PRNGKey(0))
     variables = {"params": params, "batch_stats": stats}
     forward = make_forward_fn(config, model)
-    vol = np.random.default_rng(0).normal(size=(1, 256, 256, 128)).astype(np.float32)
-    overlap = (4, 4, 36)  # reference predict.py:100 default
+    vol = np.random.default_rng(0).normal(size=(1,) + tuple(vol_shape)).astype(np.float32)
+    overlap = tuple(min(4, patch - 1) for _ in range(2)) + (min(36, patch - 1),)
 
-    sliding_window_predict(forward, variables, vol, (patch,) * 3, overlap, batch_size=2)
+    sliding_window_predict(forward, variables, vol, (patch,) * 3, overlap, batch_size=batch_size)
     times = []
     for _ in range(n_volumes):
         t0 = time.perf_counter()
-        sliding_window_predict(forward, variables, vol, (patch,) * 3, overlap, batch_size=2)
+        sliding_window_predict(forward, variables, vol, (patch,) * 3, overlap, batch_size=batch_size)
         times.append(time.perf_counter() - t0)
     return 60.0 / float(np.mean(times))
 

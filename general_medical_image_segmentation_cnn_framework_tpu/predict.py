@@ -72,6 +72,9 @@ def predict(model=None, config=None, logger=None):
         model = build_model(config)
     if logger is None:
         logger = get_logger(config)
+    from .train import enable_compilation_cache
+
+    enable_compilation_cache(config)
 
     # restore weights (reference predict.py:79-81: consumes ckpt["model"])
     rng = jax.random.PRNGKey(0)

@@ -42,6 +42,18 @@ from .ops.fft import band_split
 from .parallel.mesh import make_data_mesh, replicate, shard_batch
 
 
+def enable_compilation_cache(config) -> None:
+    """Persistent XLA compilation cache: repeat runs skip the (minutes-long
+    on remote transports) 3-D conv compiles. On by default; set
+    ``config.compilation_cache_dir=null``-like falsy to disable."""
+    cache_dir = getattr(config, "compilation_cache_dir", "~/.cache/gmist_xla")
+    if not cache_dir:
+        return
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser(str(cache_dir)))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def step_lr(init_lr: float, step_size: int, gamma: float, epoch: int) -> float:
     """torch StepLR after `epoch` completed epochs (reference train.py:119)."""
     return init_lr * (gamma ** (epoch // step_size))
@@ -248,6 +260,7 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
 
     if getattr(config, "jax_debug_nans", False):
         jax.config.update("jax_debug_nans", True)
+    enable_compilation_cache(config)
 
     from .parallel.mesh import init_distributed
 
