@@ -49,6 +49,8 @@ def enable_compilation_cache(config) -> None:
     cache_dir = getattr(config, "compilation_cache_dir", "~/.cache/gmist_xla")
     if not cache_dir:
         return
+    if jax.config.jax_compilation_cache_dir:
+        return  # already configured (e.g. by the test harness) — keep it
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser(str(cache_dir)))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
