@@ -1,0 +1,97 @@
+"""Whole-epoch training as ONE XLA program (lax.scan over steps).
+
+With the device data backend every volume already lives in HBM, so an
+entire epoch — patch gather, forward, loss, backward, Adam update, metric
+— can run as a single ``lax.scan`` over steps: zero host round trips
+between steps. On dispatch-latency-bound transports this removes the
+per-step overhead entirely; on healthy links it still removes the
+host-side loop bookkeeping.
+
+Constraints: all volumes must share one spatial shape (stacked into a
+single [V, X, Y, Z, C] HBM array) and augmentation must be off (device
+backend contract). Enabled with ``config.epoch_scan=true`` (+
+``data_backend=device``); per-step loss/dice come back as arrays and are
+logged after the epoch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def build_epoch_plan(
+    n_volumes: int,
+    samples_per_volume: int,
+    batch_size: int,
+    spatial_shape,
+    patch_size,
+    rng: np.random.Generator,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(vol_idx [steps, bs], origins [steps, bs, 3]) for one epoch,
+    mirroring the queue sampler: shuffled volume order, samples_per_volume
+    uniform patches each, drop_last."""
+    vol_order = np.repeat(rng.permutation(n_volumes), samples_per_volume)
+    n_steps = len(vol_order) // batch_size
+    vol_order = vol_order[: n_steps * batch_size]
+    maxs = [s - p for s, p in zip(spatial_shape, patch_size)]
+    origins = np.stack(
+        [rng.integers(0, m + 1, size=len(vol_order)) for m in maxs], axis=-1
+    )
+    return (
+        vol_order.reshape(n_steps, batch_size).astype(np.int32),
+        origins.reshape(n_steps, batch_size, 3).astype(np.int32),
+    )
+
+
+def make_epoch_scan(config, model, tx, forward: Callable, loss_and_metric: Callable):
+    """Returns jitted ``epoch_fn(params, batch_stats, opt_state, volumes,
+    labels, vol_idx, origins, rng) -> (params, stats, opt, losses, dices)``.
+
+    ``forward(variables, x, train, rngs, mutable)`` is the driver's
+    network adapter; ``loss_and_metric(pred, gt) -> (loss, dice)``.
+    """
+    patch_size = tuple(config.patch_size)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def epoch_fn(params, batch_stats, opt_state, volumes, labels, vol_idx, origins, rng):
+        def gather(store, idx, origin):
+            vol = store[idx]
+            return jax.lax.dynamic_slice(
+                vol, (origin[0], origin[1], origin[2], 0),
+                patch_size + (vol.shape[-1],),
+            )
+
+        def step(carry, inputs):
+            params, batch_stats, opt_state, rng = carry
+            idxs, origs = inputs
+            x = jax.vmap(partial(gather, volumes))(idxs, origs)
+            y = jax.vmap(partial(gather, labels))(idxs, origs)
+            rng, step_rng = jax.random.split(rng)
+
+            def loss_fn(p):
+                variables = {"params": p, "batch_stats": batch_stats}
+                pred, updates = forward(
+                    variables, x, True, {"dropout": step_rng}, ["batch_stats"]
+                )
+                loss, dice = loss_and_metric(pred, y)
+                return loss, (dice, updates.get("batch_stats", batch_stats))
+
+            (loss, (dice, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_stats, opt_state, rng), (loss, dice)
+
+        (params, batch_stats, opt_state, _), (losses, dices) = jax.lax.scan(
+            step, (params, batch_stats, opt_state, rng), (vol_idx, origins)
+        )
+        return params, batch_stats, opt_state, losses, dices
+
+    return epoch_fn

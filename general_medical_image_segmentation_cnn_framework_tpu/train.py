@@ -314,6 +314,34 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
     train_step = make_train_step(config, model, tx)
     checkpointer = AsyncCheckpointer()
 
+    # Whole-epoch scan path: one XLA program per epoch (ops/epoch_scan.py).
+    use_epoch_scan = bool(getattr(config, "epoch_scan", False))
+    if use_epoch_scan:
+        from .data.device_prep import DevicePatchDataset
+        from .ops.epoch_scan import build_epoch_plan, make_epoch_scan
+
+        assert isinstance(dataset, DevicePatchDataset), (
+            "epoch_scan requires data_backend=device"
+        )
+        assert int(config.out_classes) == 2 and (
+            getattr(config, "loss", "bce") or "bce"
+        ) == "bce", "epoch_scan supports the binary BCE criterion"
+        shapes = {v[0].shape for v in dataset.volumes}
+        assert len(shapes) == 1, (
+            f"epoch_scan requires uniform volume shapes, got {shapes}"
+        )
+        volumes_dev = jnp.stack([v[0] for v in dataset.volumes])
+        labels_dev = jnp.stack([v[1] for v in dataset.volumes])
+        forward = make_forward(config, model)
+
+        def loss_and_metric(pred, gt):
+            loss, _, dice = fused_bce_dice_metrics(pred, gt)
+            return loss, dice
+
+        epoch_fn = make_epoch_scan(config, model, tx, forward, loss_and_metric)
+        plan_rng = np.random.default_rng(int(getattr(config, "seed", 0) or 0))
+        spatial_shape = dataset.volumes[0][0].shape[:3]
+
     profile_dir = getattr(config, "profile_dir", None)
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -337,32 +365,58 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
             )
             opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
 
-        load_start = time.time()
-        for i, (x_np, y_np) in enumerate(dataset):
-            batch = shard_batch(mesh, {"x": x_np, "y": y_np})
-            load_time = time.time() - load_start
-            step_start = time.time()
-            rng, step_rng = jax.random.split(rng)
-            params, batch_stats, opt_state, loss, dice = train_step(
-                params, batch_stats, opt_state, batch["x"], batch["y"], step_rng
+        if use_epoch_scan:
+            vol_idx, origins = build_epoch_plan(
+                len(dataset.volumes), dataset.samples_per_volume,
+                dataset.batch_size, spatial_shape, config.patch_size, plan_rng,
             )
-            loss_f, dice_f = float(loss), float(dice)
-            step_time = time.time() - step_start
-
-            iteration += 1
-            writer.add_scalar("Training/Loss", loss_f, iteration)
-            writer.add_scalar("Training/dice", dice_f, iteration)
-            loss_meter.update(loss_f, x_np.shape[0])
-            dice_meter.update(dice_f, x_np.shape[0])
-            step_meter.update(step_time)
-            load_meter.update(load_time)
-            progress.update(batch_task, completed=i + 1)
+            rng, epoch_rng = jax.random.split(rng)
+            t0 = time.time()
+            params, batch_stats, opt_state, losses, dices = epoch_fn(
+                params, batch_stats, opt_state, volumes_dev, labels_dev,
+                jnp.asarray(vol_idx), jnp.asarray(origins), epoch_rng,
+            )
+            losses_np = np.asarray(losses)
+            dices_np = np.asarray(dices)
+            epoch_time = time.time() - t0
+            for i, (loss_f, dice_f) in enumerate(zip(losses_np, dices_np)):
+                iteration += 1
+                writer.add_scalar("Training/Loss", float(loss_f), iteration)
+                writer.add_scalar("Training/dice", float(dice_f), iteration)
+                loss_meter.update(float(loss_f), dataset.batch_size)
+                dice_meter.update(float(dice_f), dataset.batch_size)
+            step_meter.update(epoch_time / max(len(losses_np), 1))
             logger.info(
-                f"\nEpoch: {epoch} Batch: {i}, data load time: {load_meter.val:.3f}s , "
-                f"train time: {step_meter.val:.3f}s\n"
-                f"Loss: {loss_meter.val}\nDice: {dice_meter.val}\n"
+                f"\nEpoch: {epoch} (scan, {len(losses_np)} steps in "
+                f"{epoch_time:.3f}s)\nLoss: {loss_meter.val}\nDice: {dice_meter.val}\n"
             )
+        else:
             load_start = time.time()
+            for i, (x_np, y_np) in enumerate(dataset):
+                batch = shard_batch(mesh, {"x": x_np, "y": y_np})
+                load_time = time.time() - load_start
+                step_start = time.time()
+                rng, step_rng = jax.random.split(rng)
+                params, batch_stats, opt_state, loss, dice = train_step(
+                    params, batch_stats, opt_state, batch["x"], batch["y"], step_rng
+                )
+                loss_f, dice_f = float(loss), float(dice)
+                step_time = time.time() - step_start
+
+                iteration += 1
+                writer.add_scalar("Training/Loss", loss_f, iteration)
+                writer.add_scalar("Training/dice", dice_f, iteration)
+                loss_meter.update(loss_f, x_np.shape[0])
+                dice_meter.update(dice_f, x_np.shape[0])
+                step_meter.update(step_time)
+                load_meter.update(load_time)
+                progress.update(batch_task, completed=i + 1)
+                logger.info(
+                    f"\nEpoch: {epoch} Batch: {i}, data load time: {load_meter.val:.3f}s , "
+                    f"train time: {step_meter.val:.3f}s\n"
+                    f"Loss: {loss_meter.val}\nDice: {dice_meter.val}\n"
+                )
+                load_start = time.time()
 
         if getattr(config, "use_scheduler", True):
             logger.info(f"Learning rate:  {float(opt_state.hyperparams['learning_rate'])}")
