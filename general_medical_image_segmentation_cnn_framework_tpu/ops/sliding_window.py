@@ -70,6 +70,26 @@ def _forward_all_tiles(forward, variables, volume, starts, patch_size, batch_siz
     return masks.reshape(-1, *patch_size)
 
 
+@partial(jax.jit, static_argnames=("forward", "patch_size", "batch_size"))
+def _forward_all_tiles_logits(forward, variables, volume, starts, patch_size, batch_size):
+    """Like _forward_all_tiles but returns raw logits [N, p..., C] for soft
+    (mean-logits) blending."""
+    chunked = starts.reshape(-1, batch_size, 3)
+
+    def gather(start):
+        return jax.lax.dynamic_slice(
+            volume, (start[0], start[1], start[2], 0),
+            patch_size + (volume.shape[-1],),
+        )
+
+    def body(_, chunk):
+        tiles = jax.vmap(gather)(chunk)
+        return None, forward(variables, tiles).astype(jnp.float32)
+
+    _, logits = jax.lax.scan(body, None, chunked)
+    return logits.reshape((-1,) + tuple(patch_size) + (logits.shape[-1],))
+
+
 def sliding_window_predict(
     forward: Callable,
     variables,
@@ -86,8 +106,13 @@ def sliding_window_predict(
                jit cache hits across volumes.
     variables: model params/batch_stats pytree (a jit argument).
     volume:    [C, X, Y, Z] numpy (already normalized).
-    Returns    [1, X, Y, Z] int mask (aggregated argmax, crop blending),
-    byte-identical to TorchIO's GridAggregator output.
+    overlap_mode:
+      'crop'        — argmax per tile, half-overlap border crop: byte-
+                      identical to the reference's TorchIO aggregation;
+      'mean_logits' — average raw logits across overlapping tiles, argmax
+                      once at the end (soft blending; smoother seams —
+                      capability extension).
+    Returns [1, X, Y, Z] int mask.
     """
     patch_size = tuple(int(p) for p in patch_size)
     spatial = volume.shape[1:]
@@ -101,6 +126,19 @@ def sliding_window_predict(
     starts = locations[:, :3].astype(np.int32)
     if n_pad:
         starts = np.concatenate([starts, np.repeat(starts[-1:], n_pad, axis=0)])
+
+    if overlap_mode == "mean_logits":
+        logits = np.asarray(
+            _forward_all_tiles_logits(
+                forward, variables, vol_dev, jnp.asarray(starts), patch_size, batch_size
+            )
+        )[:n]
+        agg = GridAggregator(
+            spatial, patch_overlap, overlap_mode="average",
+            num_channels=logits.shape[-1], dtype=np.float32,
+        )
+        agg.add_batch(np.moveaxis(logits, -1, 1), locations)
+        return np.argmax(agg.get_output_tensor(), axis=0)[None].astype(np.int32)
 
     aggregator = GridAggregator(
         spatial, patch_overlap, overlap_mode=overlap_mode, num_channels=1, dtype=np.int32

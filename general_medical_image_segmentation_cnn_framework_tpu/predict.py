@@ -120,6 +120,7 @@ def predict(model=None, config=None, logger=None):
             config.patch_size,
             overlap,
             batch_size=int(config.batch_size),
+            overlap_mode=getattr(config, "blend", "crop") or "crop",
         )
         gt_t = subject.gt.data
 

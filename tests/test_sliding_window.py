@@ -37,3 +37,13 @@ def test_sliding_window_batch_padding():
             _threshold_forward, {}, vol, (12, 12, 12), (4, 4, 4), batch_size=bs
         )
         np.testing.assert_array_equal(mask, (vol > 0).astype(np.int32))
+
+
+def test_mean_logits_blend_matches_pointwise():
+    rng = np.random.default_rng(2)
+    vol = rng.normal(size=(1, 20, 20, 20)).astype(np.float32)
+    mask = sliding_window_predict(
+        _threshold_forward, {}, vol, (12, 12, 12), (4, 4, 4),
+        batch_size=3, overlap_mode="mean_logits",
+    )
+    np.testing.assert_array_equal(mask, (vol > 0).astype(np.int32))
