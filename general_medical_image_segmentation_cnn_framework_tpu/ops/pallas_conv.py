@@ -9,14 +9,15 @@ accumulated in f32, applies bias + ReLU, and writes one output slab —
 the input is read exactly once.
 
 Status: correct in interpreter mode (tests) AND compiled+validated on a
-real v5e (rel. err ~4e-3 from bf16). The hardware path requires Cin to be
-a lane multiple (Cin % 128 == 0 — the deep-layer regime; Mosaic DMA
-slices must cover tile-aligned extents). First-iteration throughput on
-the tunneled v5e: 2.0 TFLOPS vs 3.0 for XLA's native conv at
-16x32x32x128ch — the 27 value-level window slices relayout per tap; the
-production compute path remains ops/conv3d.py's decomposed form. Kept as
-the foundation for further Mosaic scheduling work on directly-attached
-hardware.
+real v5e (rel. err ~4e-3 from bf16). The hardware path requires Cin and
+Cout to be lane multiples (% 128 == 0 — the deep-layer regime; Mosaic DMA
+slices must cover tile-aligned extents, and the tap-column slices must be
+lane-aligned). Measured on the tunneled v5e at 16x32x32x128ch: 4.76 ms =
+3.0 TFLOPS — parity with XLA's jitted conv+bias+relu (4.81 ms), with the
+BN fold included for free. The batched-taps formulation (one
+[Hp*Wp, Cin] @ [Cin, 9*Cout] matmul per depth slab) was 1.54x over the
+naive 27-matmul version. The production compute path remains
+ops/conv3d.py's decomposed form (which also covers Cin < 128).
 """
 
 from __future__ import annotations
@@ -67,22 +68,25 @@ def _conv_block_kernel(x_ref, w_ref, b_ref, out_ref, scratch, sem, *, h, w, cin,
     dma.start()
     dma.wait()
 
-    acc = jnp.zeros((h * w, cout), jnp.float32)
+    # batched-taps formulation: ONE [Hp*Wp, Cin] @ [Cin, 9*Cout] matmul per
+    # depth slab (full 1152-lane MXU occupancy), then 9 shifted output
+    # accumulations. 1.54x over the naive 27-small-matmul version; the tap
+    # column slices are lane-aligned (Cout % 128 == 0).
+    acc = jnp.zeros((h, w, cout), jnp.float32)
     for dz in range(3):
-        # ref slicing only along the leading (untiled) dim; the shifted
-        # windows are value-level slices (vector relayouts, no memref
-        # tiling constraints)
         slab = scratch[dz]  # [Hp, Wp, Cin] value
+        y_all = jnp.dot(
+            slab.reshape(hp * wp, cin), w_ref[dz],
+            preferred_element_type=jnp.float32,
+        ).reshape(hp, wp, 9 * cout)
         for dy in range(3):
             for dx in range(3):
-                patch = jax.lax.slice(slab, (dy, dx, 0), (dy + h, dx + w, cin))
-                acc = acc + jnp.dot(
-                    patch.reshape(h * w, cin),
-                    w_ref[dz, dy, dx],
-                    preferred_element_type=jnp.float32,
+                tap = (dy * 3 + dx) * cout
+                acc = acc + jax.lax.slice(
+                    y_all, (dy, dx, tap), (dy + h, dx + w, tap + cout)
                 )
     y = jnp.maximum(acc + b_ref[0], 0.0)
-    out_ref[0, 0] = y.reshape(h, w, cout).astype(out_ref.dtype)
+    out_ref[0, 0] = y.astype(out_ref.dtype)
 
 
 def fused_conv3d_bn_relu(
@@ -107,6 +111,9 @@ def fused_conv3d_bn_relu(
     wp = -(-(w + 2) // 8) * 8
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, wp - w - 1), (0, 0)))
 
+    # wcat[dz]: [Cin, 9*Cout], tap-major (dy, dx, cout) columns
+    wcat = kernel.transpose(0, 3, 1, 2, 4).reshape(3, cin, 9 * cout)
+
     kern = partial(_conv_block_kernel, h=h, w=w, cin=cin, cout=cout, hp=hp, wp=wp)
     return pl.pallas_call(
         kern,
@@ -125,7 +132,7 @@ def fused_conv3d_bn_relu(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_INTERPRET,
-    )(xp, kernel.astype(x.dtype), bias.reshape(1, -1).astype(jnp.float32))
+    )(xp, wcat.astype(x.dtype), bias.reshape(1, -1).astype(jnp.float32))
 
 
 def reference_conv3d_bn_relu(x, kernel, bias):
