@@ -241,6 +241,24 @@ def compose(
             yaml.safe_dump({"config": cfg.to_plain()}, f, sort_keys=False)
         with open(hydra_dir / "overrides.yaml", "w") as f:
             yaml.safe_dump(overrides, f)
+        # Reference run dirs carry .hydra/{config,hydra,overrides}.yaml
+        # (README.md:56-66); echo the runtime facts Hydra would record.
+        with open(hydra_dir / "hydra.yaml", "w") as f:
+            yaml.safe_dump(
+                {
+                    "hydra": {
+                        "run": {"dir": output_dir},
+                        "job": {"name": job_name, "config_name": "config"},
+                        "runtime": {
+                            "output_dir": output_dir,
+                            "choices": {"config": group},
+                        },
+                        "overrides": {"task": overrides},
+                    }
+                },
+                f,
+                sort_keys=False,
+            )
     return cfg
 
 

@@ -292,13 +292,11 @@ def write_mhd(path: Union[str, Path], volume: Volume, compressed: bool = True) -
     (/root/reference/predict.py:204-208, README.md:82-87 promises .mhd/.zraw).
     """
     path = Path(path)
-    data = volume.data
-    arr = data[0] if data.shape[0] == 1 else None
-    if arr is None:
-        raise NotImplementedError("multi-channel MHD write not supported")
-    dt = np.dtype(arr.dtype)
+    data = volume.data  # [C, X, Y, Z]
+    n_channels = int(data.shape[0])
+    dt = np.dtype(data.dtype)
     if dt not in _MET_CODES:
-        arr = arr.astype(np.float32)
+        data = data.astype(np.float32)
         dt = np.dtype(np.float32)
 
     affine = volume.affine
@@ -308,7 +306,9 @@ def write_mhd(path: Union[str, Path], volume: Volume, compressed: bool = True) -
 
     ext = ".zraw" if compressed else ".raw"
     data_name = path.with_suffix(ext).name
-    blob = np.ascontiguousarray(arr.transpose(2, 1, 0)).tobytes()  # x fastest
+    # MetaImage raster: channel fastest, then x, y, z (matches read_mhd's
+    # reversed-dims + trailing-channel reshape)
+    blob = np.ascontiguousarray(np.moveaxis(data, 0, -1).transpose(2, 1, 0, 3)).tobytes()
     if compressed:
         blob = zlib.compress(blob)
     with open(path.parent / data_name, "wb") as f:
@@ -324,10 +324,12 @@ def write_mhd(path: Union[str, Path], volume: Volume, compressed: bool = True) -
         "Offset = " + " ".join(f"{v:g}" for v in offset),
         "CenterOfRotation = 0 0 0",
         "ElementSpacing = " + " ".join(f"{v:g}" for v in spacing),
-        "DimSize = " + " ".join(str(s) for s in arr.shape),
+        "DimSize = " + " ".join(str(s) for s in data.shape[1:]),
         f"ElementType = {_MET_CODES[dt]}",
-        f"ElementDataFile = {data_name}",
     ]
+    if n_channels > 1:
+        lines.append(f"ElementNumberOfChannels = {n_channels}")
+    lines.append(f"ElementDataFile = {data_name}")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
 

@@ -81,6 +81,7 @@ class PatchQueueDataset:
         is_train: bool = True,
         transform: Optional[Transform] = None,
         cache_volumes: bool = True,
+        process_index: Optional[int] = None,
     ):
         self.config = config
         self.pairs = get_subjects(config)
@@ -95,7 +96,15 @@ class PatchQueueDataset:
         self.transform = transform or build_transform(config, is_train)
         self.cache_volumes = cache_volumes
         self._cache: dict = {}
-        self.seed = int(getattr(config, "seed", 0) or 0)
+        # Multi-host: each process draws a disjoint patch stream (the Grain
+        # backend gets this from ShardByJaxProcess; here the per-process rank
+        # is folded into the rng seed so hosts never train on duplicate data).
+        if process_index is None:
+            import jax
+
+            process_index = jax.process_index()
+        self.process_index = int(process_index)
+        self.seed = int(getattr(config, "seed", 0) or 0) + self.process_index * 1_000_003
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -132,6 +141,8 @@ class PatchQueueDataset:
                         else None
                     )
                     out_q.put((x, y))
+        except BaseException as exc:  # surface producer failures to the consumer
+            out_q.put(exc)
         finally:
             out_q.put(None)  # sentinel
 
@@ -154,6 +165,9 @@ class PatchQueueDataset:
                 item = out_q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item  # a corrupt volume must fail the run, not
+                    # silently truncate the epoch
                 batch_x.append(item[0])
                 batch_y.append(item[1])
                 if len(batch_x) == self.batch_size:

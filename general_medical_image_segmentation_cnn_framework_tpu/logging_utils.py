@@ -11,8 +11,7 @@ from __future__ import annotations
 import csv
 import logging
 import os
-from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Optional
 
 
 def get_logger(config) -> logging.Logger:
@@ -72,29 +71,6 @@ class TBWriter:
     def close(self) -> None:
         if self._w is not None:
             self._w.close()
-
-
-def save_metrics_csv(
-    path: Path,
-    names: Sequence[str],
-    columns: Dict[str, List[float]],
-) -> None:
-    """Per-volume metric rows + a final mean row (predict.py:186-201)."""
-    import numpy as np
-
-    keys = list(columns.keys())
-    with open(path, "w", newline="") as f:
-        writer = csv.writer(f)
-        writer.writerow(["name"] + keys)
-        for i, name in enumerate(names):
-            writer.writerow([name] + [columns[k][i] for k in keys])
-        finite = {
-            k: [v for v in columns[k] if v == v and v not in (float("inf"),)]
-            for k in keys
-        }
-        writer.writerow(
-            ["mean"] + [float(np.mean(finite[k])) if finite[k] else float("nan") for k in keys]
-        )
 
 
 def log_config(logger: logging.Logger, config) -> None:

@@ -98,6 +98,12 @@ class VNet(nn.Module):
             )(z)
             u = BatchNorm(use_running_average=not train, dtype=self.dtype)(u)
             u = _Act(self.elu, out_chans // 2)(u)
+            # UpTransition applies nn.Dropout3d() (p=0.5, whole channels) to
+            # the skip input unconditionally during training (reference
+            # vnet3d.py:90,99 'self.do2 = nn.Dropout3d()' on skipx).
+            skip = nn.Dropout(
+                rate=0.5, broadcast_dims=(1, 2, 3), deterministic=not train
+            )(skip)
             xcat = jnp.concatenate([u, skip], axis=-1)
             o = _NConvs(out_chans, n_convs, self.elu, self.init_type, self.dtype)(xcat, train)
             return _Act(self.elu, out_chans)(o + xcat)

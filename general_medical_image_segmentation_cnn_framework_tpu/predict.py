@@ -149,7 +149,7 @@ def predict(model=None, config=None, logger=None):
     logger.info(
         f"\nprecision_mean: {np.mean(pre_ls)}\nrecall_mean: {np.mean(rec_ls)}"
         f"\njaccard_mean: {np.mean(jac_ls)}\ndice_mean: {np.mean(dice_ls)}"
-        f"\nhs95_mean: {np.mean(hs95_ls)}"
+        f"\nhs95_mean: {_finite_mean(hs95_ls)}"
     )
     return {
         "precision": pre_ls,
@@ -170,9 +170,18 @@ def save_pred(pred: np.ndarray, affine: np.ndarray, index: int, config) -> None:
     write_volume(save_base / f"pred-{index:04d}{suffix}", vol)
 
 
+def _finite_mean(values) -> float:
+    """Mean over finite entries only. hausdorff_95 is inf when either mask
+    has no surface (the reference's MONAI path yields nan there); one such
+    volume must not turn the whole run's mean row into inf/nan."""
+    arr = np.asarray(values, dtype=np.float64)
+    finite = arr[np.isfinite(arr)]
+    return float(finite.mean()) if finite.size else float("nan")
+
+
 def save_csv(pre_ls, rec_ls, jac_ls, dice_ls, hs95_ls, config) -> None:
     """metrics.csv: 5 metric columns + appended mean row
-    (reference predict.py:186-201)."""
+    (reference predict.py:186-201). The mean row skips non-finite values."""
     import pandas as pd
 
     df = pd.DataFrame(
@@ -184,7 +193,7 @@ def save_csv(pre_ls, rec_ls, jac_ls, dice_ls, hs95_ls, config) -> None:
             "hs95": hs95_ls,
         }
     )
-    df.loc[len(df)] = [df.iloc[:, c].mean() for c in range(5)]
+    df.loc[len(df)] = [_finite_mean(df.iloc[:, c]) for c in range(5)]
     df.to_csv(os.path.join(config.hydra_path, "metrics.csv"), index=False)
 
 

@@ -210,9 +210,13 @@ def make_train_step(config, model, tx) -> Callable:
     return train_step
 
 
-def evaluate(config, model, params, batch_stats, logger) -> float:
+def evaluate(config, model, params, batch_stats, logger, forward=None) -> float:
     """Whole-volume validation: sliding-window predict over the val set,
-    returns mean dice. Uses config.val_data_path/val_gt_path."""
+    returns mean dice. Uses config.val_data_path/val_gt_path.
+
+    Pass a prebuilt ``forward`` (from predict.make_forward_fn) when calling
+    repeatedly: sliding_window_predict's jit cache is keyed on the callable,
+    so a fresh closure per epoch would retrace the whole program."""
     from .data.pipeline import load_subject
     from .data.transforms import ZNormalization
     from .metrics import multiclass_seg_metrics, seg_metrics
@@ -234,7 +238,8 @@ def evaluate(config, model, params, batch_stats, logger) -> float:
         overlap = (overlap,) * 3
     overlap = tuple(min(o, p - 1) for o, p in zip(overlap, config.patch_size))
 
-    forward = make_forward_fn(config, model)
+    if forward is None:
+        forward = make_forward_fn(config, model)
     variables = {"params": params, "batch_stats": batch_stats}
     znorm = ZNormalization()
     dices = []
@@ -348,8 +353,11 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
 
     loss_meter, dice_meter = AverageMeter(), AverageMeter()
     load_meter, step_meter = AverageMeter(), AverageMeter()
-    iteration = 0
+    # Resume continues the TensorBoard step axis where the previous run left
+    # off (reference train.py sets iteration = elapsed_epochs * len(loader)).
+    iteration = elapsed_epochs * len(dataset)
     epochs = int(config.epochs)
+    eval_forward = None  # built once, reused across validation epochs
 
     progress = ProgressBars()
     epoch_task = progress.add_task("[red]epoch", total=epochs)
@@ -435,7 +443,13 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
             and getattr(config, "val_data_path", None)
             and epoch % val_interval == 0
         ):
-            val_dice = evaluate(config, model, params, batch_stats, logger)
+            if eval_forward is None:
+                from .predict import make_forward_fn
+
+                eval_forward = make_forward_fn(config, model)
+            val_dice = evaluate(
+                config, model, params, batch_stats, logger, forward=eval_forward
+            )
             writer.add_scalar("Validation/dice", val_dice, epoch)
             logger.info(f"Epoch {epoch} validation dice: {val_dice:.4f}")
             if val_dice > best_val_dice:

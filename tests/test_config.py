@@ -52,6 +52,83 @@ def test_run_dir_artifacts(tmp_path):
     run_dir = Path(cfg.hydra_path)
     assert (run_dir / ".hydra" / "config.yaml").exists()
     assert (run_dir / ".hydra" / "overrides.yaml").exists()
+    # reference run dirs carry all three echo files (README.md:56-66)
+    import yaml
+
+    hydra_echo = yaml.safe_load((run_dir / ".hydra" / "hydra.yaml").read_text())
+    assert hydra_echo["hydra"]["job"]["name"] == "train"
+    assert hydra_echo["hydra"]["runtime"]["output_dir"] == cfg.hydra_path
+
+
+# A verbatim-shaped reference config pair: the exact key surface of
+# /root/reference/conf/config.yaml + conf/config/unet.yaml, including the
+# CUDA-only keys (cudnn_enabled, cudnn_benchmark, gpu) that a TPU runtime
+# has no use for — they must compose cleanly (accepted and ignored), so a
+# user's existing reference YAMLs are drop-in.
+_REFERENCE_BASE_YAML = """\
+defaults:
+  - _self_
+  - config: unet
+
+hydra:
+  run:
+    dir: ${config.output_dir}/${hydra:job.name}-${now:%Y-%m-%d}/${now:%H-%M-%S}
+
+config:
+  data_path: "/disk/cyq/midas/train/source"
+  gt_path: "/disk/cyq/midas/train/label"
+  pred_data_path: "/disk/cyq/midas/test/source"
+  pred_gt_path: "/disk/cyq/midas/test/label"
+  init_type: 'kaiming'
+  aug: False
+  epochs: 100
+  epochs_per_checkpoint: 5
+  batch_size: 16
+  init_lr: 0.001
+  scheduler_step_size: 20
+  scheduler_gamma: 0.8
+  cudnn_enabled: True
+  cudnn_benchmark: True
+  use_scheduler: True
+  gpu: "0,1"
+
+  job_name: ${hydra:job.name}
+  hydra_path: ${hydra:runtime.output_dir}
+"""
+
+_REFERENCE_GROUP_YAML = """\
+name: "unet"
+network: "unet"
+output_dir: './logs/${config.name}'
+save_suffix: '.mhd'
+in_classes: 1
+out_classes: 2
+load_mode: 0
+ckpt: None
+latest_checkpoint_file: 'latest_checkpoint.pt'
+crop_or_pad_size: 64, 64, 64
+patch_size: 64, 64, 64
+gpu: "2"
+"""
+
+
+def test_verbatim_reference_yaml_composes(tmp_path):
+    conf = tmp_path / "conf"
+    (conf / "config").mkdir(parents=True)
+    (conf / "config.yaml").write_text(_REFERENCE_BASE_YAML)
+    (conf / "config" / "unet.yaml").write_text(_REFERENCE_GROUP_YAML)
+    cfg = compose(
+        [f"config.output_dir={tmp_path}/logs"],
+        job_name="train",
+        config_dir=conf,
+        make_run_dir=False,
+    )
+    assert cfg.network == "unet"
+    assert cfg.patch_size == (64, 64, 64)
+    assert cfg.batch_size == 16
+    # CUDA-only keys ride along harmlessly
+    assert cfg.cudnn_enabled is True and cfg.cudnn_benchmark is True
+    assert cfg.gpu == "2"  # group file wins, like Hydra's package merge
 
 
 def test_unknown_group_raises(tmp_path):

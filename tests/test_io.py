@@ -70,6 +70,20 @@ def test_mhd_roundtrip_raw(tmp_path, volume):
     np.testing.assert_allclose(back.data, volume.data, rtol=1e-6)
 
 
+def test_mhd_roundtrip_multichannel(tmp_path):
+    from general_medical_image_segmentation_cnn_framework_tpu.data.io import Volume
+
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=(3, 5, 6, 7)).astype(np.float32)  # [C, X, Y, Z]
+    affine = np.diag([1.0, 2.0, 3.0, 1.0])
+    path = tmp_path / "mc.mhd"
+    write_mhd(path, Volume(data, affine), compressed=True)
+    back = read_mhd(path)
+    assert back.data.shape == data.shape
+    np.testing.assert_allclose(back.data, data, rtol=1e-6)
+    np.testing.assert_allclose(back.affine, affine, rtol=1e-5)
+
+
 def test_spacing_from_affine(volume):
     assert volume.spacing == (1.0, 1.5, 2.0)
 

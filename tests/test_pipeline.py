@@ -115,6 +115,30 @@ def test_patch_queue_reproducible(tiny_config):
     np.testing.assert_array_equal(a[0][0], b[0][0])
 
 
+def test_patch_queue_per_host_disjoint(tiny_config):
+    """Multi-host: different process indices draw different patch streams
+    (a real multi-host run must not train on duplicated data)."""
+    h0 = list(PatchQueueDataset(tiny_config, process_index=0))
+    h1 = list(PatchQueueDataset(tiny_config, process_index=1))
+    assert len(h0) == len(h1)
+    assert any(
+        not np.array_equal(a[0], b[0]) for a, b in zip(h0, h1)
+    ), "hosts 0 and 1 produced identical patch streams"
+
+
+def test_patch_queue_producer_error_propagates(tiny_config):
+    """A corrupt volume must fail the run, not silently truncate the epoch."""
+    import pytest
+
+    class _BoomTransform:
+        def __call__(self, subject, rng):
+            raise ValueError("corrupt volume")
+
+    ds = PatchQueueDataset(tiny_config, transform=_BoomTransform())
+    with pytest.raises(ValueError, match="corrupt volume"):
+        list(ds)
+
+
 def test_grid_locations_cover_volume():
     locs = grid_locations((32, 32, 32), (16, 16, 16), (4, 4, 4))
     cover = np.zeros((32, 32, 32), bool)
