@@ -1,11 +1,13 @@
 #!/usr/bin/env python
 """Benchmark on real hardware. Prints ONE JSON line (stdout):
 
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "secondary": [...]}
 
 Headline metric: sliding-window whole-volume inference throughput
-(BASELINE.md target: >= 5 vols/min on a v5p-8). The companion train-step
-throughput is printed to stderr and tracked in BASELINE.md — its stated
+(BASELINE.md target: >= 5 vols/min on a v5p-8). ``secondary`` carries the
+train-step throughput of the flagship and the transformer families
+(UNETR, VT-UNet) plus a VT-UNet inference number, so transformer-path
+regressions show up in BENCH_r*.json (VERDICT r1 #7). The train-step
 2,000 patches/sec target exceeds a v5p-8's total peak FLOPs for this
 model (see BASELINE.md physics note), so vols/min is the meaningful
 baseline comparison. vs_baseline = vols_per_min / 5.0 with the chip count
@@ -22,29 +24,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_train(n_steps=10):
+def _config(network, patch):
     from general_medical_image_segmentation_cnn_framework_tpu.config import ConfigDict
-    from general_medical_image_segmentation_cnn_framework_tpu.models.three_d.unet3d import UNet3D
+
+    return ConfigDict(
+        {
+            "network": network, "in_classes": 1, "out_classes": 2,
+            "patch_size": (patch,) * 3, "init_lr": 1e-3,
+            "init_type": "kaiming", "precision": "bfloat16", "seed": 0,
+        }
+    )
+
+
+def bench_train(network="unet", patch=128, n_steps=10, bs=1):
+    from general_medical_image_segmentation_cnn_framework_tpu.models import build_model
     from general_medical_image_segmentation_cnn_framework_tpu.train import (
         init_train_state,
         make_train_step,
     )
 
-    patch = 128
-    config = ConfigDict(
-        {
-            "network": "unet", "in_classes": 1, "out_classes": 2,
-            "patch_size": (patch,) * 3, "init_lr": 1e-3,
-            "init_type": "kaiming", "precision": "bfloat16", "seed": 0,
-        }
-    )
-    model = UNet3D.from_config(config)
+    config = _config(network, patch)
+    model = build_model(config)
     rng = jax.random.PRNGKey(0)
     params, stats, opt, tx = init_train_state(config, model, rng)
     step = make_train_step(config, model, tx)
-    bs = 1
-    x = jnp.asarray(np.random.default_rng(0).normal(size=(bs, patch, patch, patch, 1)).astype(np.float32))
-    y = jnp.asarray((np.random.default_rng(1).uniform(size=(bs, patch, patch, patch, 1)) > 0.5).astype(np.float32))
+    gen = jax.jit(lambda k: (
+        jax.random.normal(jax.random.fold_in(k, 1), (bs, patch, patch, patch, 1), jnp.float32),
+        (jax.random.uniform(jax.random.fold_in(k, 2), (bs, patch, patch, patch, 1)) > 0.5).astype(jnp.float32),
+    ))
+    x, y = gen(rng)
     for _ in range(3):
         params, stats, opt, loss, dice = step(params, stats, opt, x, y, rng)
     float(loss)  # hard sync (block_until_ready unreliable on some transports)
@@ -55,23 +63,17 @@ def bench_train(n_steps=10):
     return bs * n_steps / (time.perf_counter() - t0)
 
 
-def bench_inference(n_volumes=3, vol_shape=(256, 256, 128), patch=128, batch_size=2):
-    from general_medical_image_segmentation_cnn_framework_tpu.config import ConfigDict
-    from general_medical_image_segmentation_cnn_framework_tpu.models.three_d.unet3d import UNet3D
+def bench_inference(network="unet", n_volumes=3, vol_shape=(256, 256, 128), patch=128, batch_size=2):
+    from general_medical_image_segmentation_cnn_framework_tpu.models import build_model
     from general_medical_image_segmentation_cnn_framework_tpu.ops.sliding_window import (
         sliding_window_predict,
     )
     from general_medical_image_segmentation_cnn_framework_tpu.predict import make_forward_fn
     from general_medical_image_segmentation_cnn_framework_tpu.train import init_train_state
 
-    config = ConfigDict(
-        {
-            "network": "unet", "in_classes": 1, "out_classes": 2,
-            "patch_size": (patch,) * 3, "init_lr": 1e-3,
-            "init_type": "kaiming", "precision": "bfloat16", "seed": 0,
-        }
-    )
-    model = UNet3D.from_config(config)
+    config = _config(network, patch)
+    config.batch_size = batch_size
+    model = build_model(config)
     params, stats, _, _ = init_train_state(config, model, jax.random.PRNGKey(0))
     variables = {"params": params, "batch_stats": stats}
     forward = make_forward_fn(config, model)
@@ -90,14 +92,25 @@ def bench_inference(n_volumes=3, vol_shape=(256, 256, 128), patch=128, batch_siz
 def main() -> None:
     n_dev = len(jax.devices())
     vols_per_min = bench_inference()
-    try:
-        pps = bench_train()
-        print(
-            f"[companion] unet3d 128^3 train: {pps:.1f} patches/sec on {n_dev} chip(s)",
-            file=sys.stderr,
-        )
-    except Exception as e:  # train bench is informational; never fail the run
-        print(f"[companion] train bench failed: {str(e)[:200]}", file=sys.stderr)
+
+    secondary = []
+
+    def record(metric, fn, unit):
+        try:
+            value = fn()
+            secondary.append({"metric": metric, "value": round(value, 2), "unit": unit})
+            print(f"[companion] {metric}: {value:.2f} {unit}", file=sys.stderr)
+        except Exception as e:  # secondary benches are informational
+            print(f"[companion] {metric} failed: {str(e)[:200]}", file=sys.stderr)
+
+    record(f"unet3d_128_train_chips{n_dev}", lambda: bench_train("unet"), "patches/s")
+    record(f"unetr_128_train_chips{n_dev}", lambda: bench_train("unetr", n_steps=5), "patches/s")
+    record(f"vtunet_128_train_chips{n_dev}", lambda: bench_train("vtnet", n_steps=5), "patches/s")
+    record(
+        f"vtunet_inference_256x256x128_chips{n_dev}",
+        lambda: bench_inference("vtnet", n_volumes=2, batch_size=1),
+        "vols/min",
+    )
 
     print(
         json.dumps(
@@ -106,6 +119,7 @@ def main() -> None:
                 "value": round(vols_per_min, 2),
                 "unit": "vols/min",
                 "vs_baseline": round(vols_per_min / 5.0, 4),
+                "secondary": secondary,
             }
         )
     )

@@ -29,6 +29,8 @@ class UNet3D(nn.Module):
     axis_name: Optional[str] = None
     remat: bool = False  # rematerialize blocks: trades ~30% FLOPs for
     # activation memory, unlocking larger (MXU-friendlier) batches
+    pallas: bool = False  # route lane-aligned deep blocks through the fused
+    # Pallas conv+BN+ReLU kernel (config.pallas_conv)
 
     def _block(self, features: int):
         block_cls = ConvBlock
@@ -42,6 +44,7 @@ class UNet3D(nn.Module):
             init_type=self.init_type,
             dtype=self.dtype,
             axis_name=self.axis_name,
+            pallas=self.pallas,
         )
 
         def block(x, train):
@@ -92,4 +95,5 @@ class UNet3D(nn.Module):
             init_type=getattr(config, "init_type", "none"),
             dtype=jnp.bfloat16 if getattr(config, "precision", "") == "bfloat16" else jnp.float32,
             remat=bool(getattr(config, "remat", False)),
+            pallas=bool(getattr(config, "pallas_conv", False)),
         )

@@ -54,7 +54,7 @@ class TorchConv(nn.Module):
     def __call__(self, x):
         import os
 
-        from ..ops.conv3d import conv3d_decomposed, eligible
+        from ..ops.conv3d import conv3d_decomposed, conv3d_tapgrouped, eligible
 
         n = x.ndim - 2
         k = _to_tuple(self.kernel_size, n)
@@ -74,9 +74,11 @@ class TorchConv(nn.Module):
                 k + (cin, self.features),
                 jnp.float32,
             )
-            y = conv3d_decomposed(
-                x.astype(self.dtype), kernel.astype(self.dtype), s, p
-            )
+            # tap-grouped (lane-packed) form for depth-stride-1 convs —
+            # measured fastest at every level on v5e; the decomposed
+            # form covers the strided-depth cases
+            conv = conv3d_tapgrouped if s[0] == 1 else conv3d_decomposed
+            y = conv(x.astype(self.dtype), kernel.astype(self.dtype), s, p)
             if self.use_bias:
                 bias = self.param(
                     "bias", bias_initializer(self.init_type),
@@ -279,6 +281,50 @@ class PReLU(nn.Module):
         return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
 
 
+class _ConvParams(nn.Module):
+    """Owns the same params TorchConv's direct path creates (so a
+    Pallas-routed ConvBlock keeps a checkpoint-identical variable tree)."""
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    use_bias: bool
+    init_type: str
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param(
+            "kernel",
+            kernel_initializer(self.init_type),
+            tuple(self.kernel_size) + (cin, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param(
+                "bias", bias_initializer(self.init_type), (self.features,), jnp.float32
+            )
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class _BNParams(nn.Module):
+    """Owns the same params/stats nn.norm.BatchNorm creates (read-only view
+    for the folded inference path)."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(features, jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(features, jnp.float32)
+        )
+        return scale, bias, mean.value, var.value
+
+
 class ConvBlock(nn.Module):
     """Conv -> Norm -> Activation (the zoo's universal building block).
 
@@ -286,6 +332,13 @@ class ConvBlock(nn.Module):
     (/root/reference/models/three_d/unet3d.py:73-104) and variants with
     InstanceNorm/LeakyReLU etc. XLA fuses the norm+activation into the conv
     epilogue on TPU.
+
+    ``pallas=True`` (config.pallas_conv) routes lane-aligned k3/s1/BN/ReLU
+    blocks through the fused Pallas kernel (ops/pallas_conv.py): at eval the
+    whole Conv+BN+ReLU is ONE kernel with BatchNorm folded into the weights;
+    at train the conv runs through pallas_conv3d's custom VJP and BatchNorm
+    keeps its batch-stat semantics. The variable tree is identical to the
+    unfused block, so checkpoints interchange freely.
     """
 
     features: int
@@ -299,9 +352,58 @@ class ConvBlock(nn.Module):
     init_type: str = "none"
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    pallas: bool = False
+
+    def _pallas_eligible(self, x) -> bool:
+        from ..ops.pallas_conv import _INTERPRET, eligible_pallas
+
+        n = x.ndim - 2
+        return (
+            self.pallas
+            and n == 3
+            and _to_tuple(self.kernel_size, n) == (3, 3, 3)
+            and _to_tuple(self.stride, n) == (1, 1, 1)
+            and _to_tuple(self.padding, n) == (1, 1, 1)
+            and _to_tuple(self.dilation, n) == (1, 1, 1)
+            and self.norm == "batch"
+            and self.act == "relu"
+            and eligible_pallas(x.shape[-1], self.features)
+            and (_INTERPRET or jax.default_backend() == "tpu")
+        )
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if self._pallas_eligible(x):
+            from ..ops.pallas_conv import (
+                fold_batchnorm,
+                fused_conv3d_bn_relu,
+                pallas_conv3d,
+            )
+
+            kernel, cbias = _ConvParams(
+                features=self.features,
+                kernel_size=(3, 3, 3),
+                use_bias=self.use_bias,
+                init_type=self.init_type,
+                name="TorchConv_0",
+            )(x.shape[-1])
+            if not train:
+                scale, bbias, mean, var = _BNParams(name="BatchNorm_0")(self.features)
+                fk, fb = fold_batchnorm(kernel, cbias, scale, bbias, mean, var)
+                return fused_conv3d_bn_relu(
+                    x.astype(self.dtype), fk.astype(self.dtype), fb
+                )
+            y = pallas_conv3d(x.astype(self.dtype), kernel.astype(self.dtype))
+            if cbias is not None:
+                y = y + cbias.astype(y.dtype)
+            y = BatchNorm(
+                use_running_average=False,
+                dtype=self.dtype,
+                axis_name=self.axis_name,
+                name="BatchNorm_0",
+            )(y)
+            return nn.relu(y)
+
         y = TorchConv(
             features=self.features,
             kernel_size=self.kernel_size,

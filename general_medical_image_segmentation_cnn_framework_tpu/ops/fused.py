@@ -136,28 +136,130 @@ def _pallas_grads(l0, l1, g, scale):
     )(l0, l1, g, scale)
 
 
+_PROBE_CACHE = None
+
+
+def _pallas_wins_probe() -> bool:
+    """Measure whether an embedded pallas_call costs anything on this
+    transport. Standalone the fused kernel is fast everywhere, but inside a
+    larger jitted program each pallas_call serializes against the program on
+    some remote transports (+64 ms/step measured on a tunneled dev TPU)
+    while being free on directly-attached hardware. The probe times a small
+    jitted program (fused sums + a matmul) with the Pallas path vs the jnp
+    path and enables Pallas only where it doesn't lose. Cached per process
+    and on disk (keyed by device kind)."""
+    global _PROBE_CACHE
+    if _PROBE_CACHE is not None:
+        return _PROBE_CACHE
+    import json
+    import os
+    import time
+
+    dev = str(jax.devices()[0])
+    cache_path = os.path.expanduser("~/.cache/gmist_xla/pallas_probe.json")
+    try:
+        with open(cache_path) as f:
+            data = json.load(f)
+        if data.get("device") == dev:
+            _PROBE_CACHE = bool(data["pallas_wins"])
+            return _PROBE_CACHE
+    except Exception:
+        pass
+
+    # The pathology only shows with BOTH fused kernels (fwd sums + bwd
+    # grads) inside one large program — and on some transports such
+    # programs can even hang the compiler. So the probe runs the real
+    # fused fwd+bwd in a SUBPROCESS with a timeout: a hang or a slowdown
+    # both count as "pallas loses".
+    import subprocess
+    import sys
+
+    probe_code = r"""
+import time, json, sys
+import jax, jax.numpy as jnp
+from general_medical_image_segmentation_cnn_framework_tpu.ops import fused
+
+key = jax.random.PRNGKey(0)
+v = 64 ** 3
+gen = jax.jit(lambda k: (
+    jax.random.normal(jax.random.fold_in(k, 0), (1, 64, 64, 64, 2), jnp.float32),
+    (jax.random.uniform(jax.random.fold_in(k, 1), (1, 64, 64, 64, 1)) > 0.5).astype(jnp.float32),
+    jax.random.normal(jax.random.fold_in(k, 2), (4096, 4096), jnp.bfloat16),
+))
+logits, g, w = gen(key)
+
+def run(force):
+    fused._FORCE_PALLAS = force
+    def loss_fn(l, w):
+        y = w
+        for _ in range(4):
+            y = jnp.dot(y, w, preferred_element_type=jnp.bfloat16)
+        l = l + y[0, 0].astype(jnp.float32) * 1e-20
+        loss, _, _ = fused.fused_bce_dice_metrics(l, g)
+        return loss + jnp.sum(y[0, :8].astype(jnp.float32)) * 1e-20
+    f = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+    out = f(logits, w); float(out[0])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = f(logits, w)
+    float(out[0])
+    return (time.perf_counter() - t0) / 10
+
+t_jnp = run(False)
+t_pal = run(True)
+print(json.dumps({"t_jnp": t_jnp, "t_pal": t_pal}))
+"""
+    try:
+        import os as _os
+
+        repo_root = _os.path.dirname(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        )
+        env = dict(_os.environ)
+        env["PYTHONPATH"] = repo_root + _os.pathsep + env.get("PYTHONPATH", "")
+        env.pop("GMIST_PALLAS_FUSED", None)
+        proc = subprocess.run(
+            [sys.executable, "-c", probe_code],
+            capture_output=True, text=True, timeout=240, env=env,
+        )
+        data = json.loads(proc.stdout.strip().splitlines()[-1])
+        wins = data["t_pal"] < data["t_jnp"] * 1.1 + 1e-3
+    except Exception:
+        wins = False  # probe crash/hang/timeout = the pathology itself
+
+    _PROBE_CACHE = wins
+    try:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        with open(cache_path, "w") as f:
+            json.dump({"device": dev, "pallas_wins": wins}, f)
+    except Exception:
+        pass
+    return wins
+
+
 def _on_tpu() -> bool:
     """Whether to take the Pallas kernel path.
 
-    Opt-in (GMIST_PALLAS_FUSED=1): standalone the kernel is fast (5.6 ms for
-    a 128^3 loss+metric pass), but embedded in the jitted train step on the
-    tunneled dev TPU each pallas_call serializes against the surrounding
-    program (+64 ms/step measured), while XLA fuses the jnp formulation
-    into the same single-pass reductions for free. On directly-attached
-    hardware enable it and re-measure.
+    Standalone the kernel is fast (5.6 ms for a 128^3 loss+metric pass);
+    XLA fuses the jnp formulation into comparable single-pass reductions.
+    Default: measured per transport (_pallas_wins_probe) — on where an
+    embedded pallas_call is free, off where it serializes.
+    GMIST_PALLAS_FUSED=1/0 overrides either way.
     """
     import os
 
     if _FORCE_PALLAS:
         return True
-    if not os.environ.get("GMIST_PALLAS_FUSED"):
-        return False
+    env = os.environ.get("GMIST_PALLAS_FUSED")
+    if env is not None and env != "":
+        return env != "0"
     try:
-        return jax.devices()[0].platform.startswith("tpu") or (
+        on_tpu = jax.devices()[0].platform.startswith("tpu") or (
             jax.default_backend() not in ("cpu", "gpu")
         )
     except Exception:
         return False
+    return on_tpu and _pallas_wins_probe()
 
 
 @jax.custom_vjp

@@ -51,7 +51,7 @@ def fold_batchnorm(
     return folded_kernel, folded_bias
 
 
-def _conv_block_kernel(x_ref, w_ref, b_ref, out_ref, scratch, sem, *, h, w, cin, cout, hp, wp):
+def _conv_block_kernel(x_ref, w_ref, b_ref, out_ref, scratch, sem, *, h, w, cin, cout, hp, wp, relu=True):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -85,12 +85,14 @@ def _conv_block_kernel(x_ref, w_ref, b_ref, out_ref, scratch, sem, *, h, w, cin,
                 acc = acc + jax.lax.slice(
                     y_all, (dy, dx, tap), (dy + h, dx + w, tap + cout)
                 )
-    y = jnp.maximum(acc + b_ref[0], 0.0)
+    y = acc + b_ref[0]
+    if relu:
+        y = jnp.maximum(y, 0.0)
     out_ref[0, 0] = y.astype(out_ref.dtype)
 
 
 def fused_conv3d_bn_relu(
-    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, relu: bool = True
 ) -> jnp.ndarray:
     """x: [N, D, H, W, Cin]; kernel: [3,3,3,Cin,Cout] (BN pre-folded);
     'same' padding, stride 1. Returns relu(conv(x)+bias), x.dtype."""
@@ -114,7 +116,9 @@ def fused_conv3d_bn_relu(
     # wcat[dz]: [Cin, 9*Cout], tap-major (dy, dx, cout) columns
     wcat = kernel.transpose(0, 3, 1, 2, 4).reshape(3, cin, 9 * cout)
 
-    kern = partial(_conv_block_kernel, h=h, w=w, cin=cin, cout=cout, hp=hp, wp=wp)
+    kern = partial(
+        _conv_block_kernel, h=h, w=w, cin=cin, cout=cout, hp=hp, wp=wp, relu=relu
+    )
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n, d, h, w, cout), x.dtype),
@@ -133,6 +137,51 @@ def fused_conv3d_bn_relu(
         ],
         interpret=_INTERPRET,
     )(xp, wcat.astype(x.dtype), bias.reshape(1, -1).astype(jnp.float32))
+
+
+def eligible_pallas(cin: int, cout: int) -> bool:
+    """Hardware-path constraints of the fused kernel (lane-aligned channels,
+    the deep-layer regime). Interpret mode (tests) lifts them."""
+    return _INTERPRET or (cin % 128 == 0 and cout % 128 == 0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def pallas_conv3d(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """k3 s1 'same' conv3d through the Pallas kernel (no bias/ReLU), with a
+    custom VJP so the training step's deep layers can use it: backward-data
+    runs the same Pallas kernel on the rotated kernel; backward-weights
+    reuses XLA's filter backprop of the tap-grouped conv2d
+    (ops/conv3d.conv3d_tapgrouped — lanes = 3*Cout)."""
+    cout = kernel.shape[-1]
+    zero_bias = jnp.zeros((cout,), jnp.float32)
+    return fused_conv3d_bn_relu(x, kernel, zero_bias, relu=False)
+
+
+def _pallas_conv3d_fwd(x, kernel):
+    return pallas_conv3d(x, kernel), (x, kernel)
+
+
+def _pallas_conv3d_bwd(res, g):
+    from .conv3d import conv3d_tapgrouped
+
+    x, kernel = res
+    # dx: 'same' correlation of g with the spatially-flipped,
+    # channel-transposed kernel — shapes stay lane-aligned (Cout -> Cin)
+    k_rot = jnp.flip(kernel, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+    cin = kernel.shape[3]
+    zero_bias = jnp.zeros((cin,), jnp.float32)
+    dx = fused_conv3d_bn_relu(
+        g.astype(x.dtype), k_rot.astype(x.dtype), zero_bias, relu=False
+    ).astype(x.dtype)
+    # dw: linear in w, so the vjp graph contains only the filter backprop
+    _, vjp_w = jax.vjp(
+        lambda w: conv3d_tapgrouped(x, w, (1, 1, 1), (1, 1, 1)), kernel
+    )
+    (dw,) = vjp_w(g.astype(x.dtype))
+    return dx, dw.astype(kernel.dtype)
+
+
+pallas_conv3d.defvjp(_pallas_conv3d_fwd, _pallas_conv3d_bwd)
 
 
 def reference_conv3d_bn_relu(x, kernel, bias):

@@ -54,6 +54,44 @@ def test_decomposed_gradients_match():
     np.testing.assert_allclose(np.asarray(gxd), np.asarray(gxn), rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("k,padding", [(3, (1, 1, 1)), (3, (0, 0, 0)), (5, (2, 2, 2))])
+@pytest.mark.parametrize("stride", [(1, 1, 1), (1, 2, 2)])
+def test_tapgrouped_matches_native(k, padding, stride):
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.conv3d import (
+        conv3d_tapgrouped,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 9, 10, 4)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(k, k, k, 4, 6)).astype(np.float32))
+    got = conv3d_tapgrouped(x, kernel, stride, padding)
+    want = _native(x, kernel, stride, padding)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_tapgrouped_gradients_match():
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.conv3d import (
+        conv3d_tapgrouped,
+    )
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 6, 7, 6, 3)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 5)).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(1, 6, 7, 6, 5)).astype(np.float32))
+
+    def loss(f):
+        return lambda xx, kk: jnp.sum(f(xx, kk, (1, 1, 1), (1, 1, 1)) * r)
+
+    gx_t, gk_t = jax.grad(loss(conv3d_tapgrouped), argnums=(0, 1))(x, kernel)
+    gx_n, gk_n = jax.grad(
+        lambda xx, kk: jnp.sum(_native(xx, kk, (1, 1, 1), (1, 1, 1)) * r),
+        argnums=(0, 1),
+    )(x, kernel)
+    np.testing.assert_allclose(np.asarray(gx_t), np.asarray(gx_n), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_t), np.asarray(gk_n), rtol=1e-4, atol=1e-4)
+
+
 def test_eligibility():
     assert eligible((3, 3, 3), (1, 1, 1), (1, 1, 1), 1)
     assert eligible((3, 3, 3), (2, 2, 2), (1, 1, 1), 1)

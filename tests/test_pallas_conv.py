@@ -44,3 +44,74 @@ def test_bn_folding():
     fk, fb = pallas_conv.fold_batchnorm(kernel, bias, scale, beta, mean, var)
     got = np.asarray(pallas_conv.fused_conv3d_bn_relu(x, fk, fb))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pallas_conv3d_custom_vjp_matches_xla():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 5, 6, 7, 3)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 4)).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(1, 5, 6, 7, 4)).astype(np.float32))
+
+    def native(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1, 1), ((1, 1), (1, 1), (1, 1)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+
+    got = pallas_conv.pallas_conv3d(x, kernel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(native(x, kernel)), atol=1e-4)
+
+    gx_p, gk_p = jax.grad(
+        lambda xx, kk: jnp.sum(pallas_conv.pallas_conv3d(xx, kk) * r), argnums=(0, 1)
+    )(x, kernel)
+    gx_n, gk_n = jax.grad(
+        lambda xx, kk: jnp.sum(native(xx, kk) * r), argnums=(0, 1)
+    )(x, kernel)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_n), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_n), rtol=1e-4, atol=1e-4)
+
+
+def _convblock_pair(pallas_flag):
+    from general_medical_image_segmentation_cnn_framework_tpu.nn.blocks import ConvBlock
+
+    return ConvBlock(
+        features=4, kernel_size=3, stride=1, padding=1, norm="batch", act="relu",
+        pallas=pallas_flag,
+    )
+
+
+def test_convblock_pallas_eval_parity():
+    """Fused-eval ConvBlock == regular ConvBlock on the SAME variables
+    (checkpoint-identical tree)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 4, 6, 8, 3)).astype(np.float32))
+    plain, fused = _convblock_pair(False), _convblock_pair(True)
+    variables = plain.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = fused.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(v2)
+    # make running stats non-trivial
+    variables = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape)
+        if a.ndim == 1 else a,
+        variables,
+    )
+    y_plain = plain.apply(variables, x, train=False)
+    y_fused = fused.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_plain), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_convblock_pallas_train_parity():
+    """Train-mode pallas ConvBlock: same output AND same batch_stats update."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 4, 6, 8, 3)).astype(np.float32))
+    plain, fused = _convblock_pair(False), _convblock_pair(True)
+    variables = plain.init(jax.random.PRNGKey(0), x, train=False)
+    y_p, upd_p = plain.apply(variables, x, train=True, mutable=["batch_stats"])
+    y_f, upd_f = fused.apply(variables, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_p), rtol=1e-4, atol=1e-4)
+    for (pa, pb) in zip(
+        jax.tree_util.tree_leaves(upd_p), jax.tree_util.tree_leaves(upd_f)
+    ):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-4, atol=1e-4)

@@ -47,3 +47,167 @@ def test_mean_logits_blend_matches_pointwise():
         batch_size=3, overlap_mode="mean_logits",
     )
     np.testing.assert_array_equal(mask, (vol > 0).astype(np.int32))
+
+
+# ---------------------------------------------------------------------------
+# Golden aggregation tests with a LOCATION-DEPENDENT model.
+#
+# A pointwise model cannot distinguish crop / average / overwrite policies
+# (every policy yields the same output). The model below makes the
+# prediction depend on the voxel's position WITHIN the patch, so a wrong
+# overlap policy produces a different volume. The expected output is
+# computed by an independent per-patch numpy loop implementing the policy
+# the reference relies on (TorchIO GridSampler/GridAggregator 'crop':
+# starts advance by patch-overlap with a final start clamped to the
+# boundary; each patch writes its half-overlap-cropped core, keeping the
+# full extent where it touches the volume border; later patches overwrite
+# — /root/reference/predict.py:100,117-118,146).
+# ---------------------------------------------------------------------------
+
+_N_CLASSES = 5
+
+
+def _position_dependent_forward(variables, tiles):
+    """argmax class = (round(4*value) + ix+iy+iz within patch) % N."""
+    del variables
+    px, py, pz = tiles.shape[1:4]
+    ramp = (
+        jnp.arange(px)[:, None, None]
+        + jnp.arange(py)[None, :, None]
+        + jnp.arange(pz)[None, None, :]
+    )
+    cls = (jnp.round(4.0 * tiles[..., 0]).astype(jnp.int32) + ramp) % _N_CLASSES
+    return jax.nn.one_hot(cls, _N_CLASSES)
+
+
+def _expected_crop(vol, patch, overlap):
+    """Independent loop-based implementation of the crop aggregation."""
+    spatial = vol.shape[1:]
+
+    def starts(size, p, o):
+        step = p - o
+        ss = list(range(0, size - p + 1, step))
+        if ss[-1] != size - p:
+            ss.append(size - p)
+        return ss
+
+    out = np.zeros(spatial, np.int32)
+    ramp = (
+        np.arange(patch[0])[:, None, None]
+        + np.arange(patch[1])[None, :, None]
+        + np.arange(patch[2])[None, None, :]
+    )
+    half = [o // 2 for o in overlap]
+    for i in starts(spatial[0], patch[0], overlap[0]):
+        for j in starts(spatial[1], patch[1], overlap[1]):
+            for k in starts(spatial[2], patch[2], overlap[2]):
+                tile = vol[0, i:i + patch[0], j:j + patch[1], k:k + patch[2]]
+                pred = (np.round(4.0 * tile).astype(np.int32) + ramp) % _N_CLASSES
+                lo = [i, j, k]
+                c0 = [0 if lo[d] == 0 else half[d] for d in range(3)]
+                c1 = [
+                    0 if lo[d] + patch[d] == spatial[d] else half[d] for d in range(3)
+                ]
+                out[
+                    i + c0[0]:i + patch[0] - c1[0],
+                    j + c0[1]:j + patch[1] - c1[1],
+                    k + c0[2]:k + patch[2] - c1[2],
+                ] = pred[
+                    c0[0]:patch[0] - c1[0],
+                    c0[1]:patch[1] - c1[1],
+                    c0[2]:patch[2] - c1[2],
+                ]
+    return out[None]
+
+
+def test_crop_aggregation_location_dependent_model():
+    rng = np.random.default_rng(3)
+    vol = rng.normal(size=(1, 20, 24, 44)).astype(np.float32)
+    patch, overlap = (12, 12, 12), (4, 4, 4)
+    got = sliding_window_predict(
+        _position_dependent_forward, {}, vol, patch, overlap, batch_size=3
+    )
+    np.testing.assert_array_equal(got, _expected_crop(vol, patch, overlap))
+
+
+def test_crop_aggregation_default_reference_overlap():
+    """The reference's default patch_overlap=(4,4,36) config shape
+    (clamped per-dim below the patch), non-uniform volume."""
+    rng = np.random.default_rng(4)
+    vol = rng.normal(size=(1, 28, 26, 40)).astype(np.float32)
+    patch = (16, 16, 16)
+    # (4, 4, 36) clamped per-dim below the patch, then rounded down to even
+    # (tio requires even overlap so crop borders tile exactly)
+    overlap = tuple(min(o, p - 1) for o, p in zip((4, 4, 36), patch))
+    overlap = tuple(o - (o % 2) for o in overlap)
+    got = sliding_window_predict(
+        _position_dependent_forward, {}, vol, patch, overlap, batch_size=4
+    )
+    np.testing.assert_array_equal(got, _expected_crop(vol, patch, overlap))
+
+
+def test_crop_differs_from_naive_overwrite():
+    """Sanity: the location-dependent model DOES discriminate policies —
+    naive un-cropped overwrite must differ from crop aggregation."""
+    rng = np.random.default_rng(5)
+    vol = rng.normal(size=(1, 20, 20, 20)).astype(np.float32)
+    patch, overlap = (12, 12, 12), (4, 4, 4)
+    got = sliding_window_predict(
+        _position_dependent_forward, {}, vol, patch, overlap, batch_size=3
+    )
+    # naive overwrite: full patches written in order, no cropping
+    spatial = vol.shape[1:]
+    naive = np.zeros(spatial, np.int32)
+    ramp = (
+        np.arange(patch[0])[:, None, None]
+        + np.arange(patch[1])[None, :, None]
+        + np.arange(patch[2])[None, None, :]
+    )
+    def starts(size, p, o):
+        step = p - o
+        ss = list(range(0, size - p + 1, step))
+        if ss[-1] != size - p:
+            ss.append(size - p)
+        return ss
+    for i in starts(spatial[0], patch[0], overlap[0]):
+        for j in starts(spatial[1], patch[1], overlap[1]):
+            for k in starts(spatial[2], patch[2], overlap[2]):
+                tile = vol[0, i:i + patch[0], j:j + patch[1], k:k + patch[2]]
+                naive[i:i + patch[0], j:j + patch[1], k:k + patch[2]] = (
+                    np.round(4.0 * tile).astype(np.int32) + ramp
+                ) % _N_CLASSES
+    assert (got[0] != naive).any(), "test model failed to discriminate policies"
+
+
+def test_mean_logits_matches_independent_average():
+    rng = np.random.default_rng(6)
+    vol = rng.normal(size=(1, 20, 20, 20)).astype(np.float32)
+    patch, overlap = (12, 12, 12), (4, 4, 4)
+    got = sliding_window_predict(
+        _position_dependent_forward, {}, vol, patch, overlap,
+        batch_size=3, overlap_mode="mean_logits",
+    )
+    spatial = vol.shape[1:]
+    acc = np.zeros(spatial + (_N_CLASSES,), np.float64)
+    cnt = np.zeros(spatial, np.float64)
+    ramp = (
+        np.arange(patch[0])[:, None, None]
+        + np.arange(patch[1])[None, :, None]
+        + np.arange(patch[2])[None, None, :]
+    )
+    def starts(size, p, o):
+        step = p - o
+        ss = list(range(0, size - p + 1, step))
+        if ss[-1] != size - p:
+            ss.append(size - p)
+        return ss
+    for i in starts(spatial[0], patch[0], overlap[0]):
+        for j in starts(spatial[1], patch[1], overlap[1]):
+            for k in starts(spatial[2], patch[2], overlap[2]):
+                tile = vol[0, i:i + patch[0], j:j + patch[1], k:k + patch[2]]
+                cls = (np.round(4.0 * tile).astype(np.int32) + ramp) % _N_CLASSES
+                onehot = np.eye(_N_CLASSES)[cls]
+                acc[i:i + patch[0], j:j + patch[1], k:k + patch[2]] += onehot
+                cnt[i:i + patch[0], j:j + patch[1], k:k + patch[2]] += 1
+    expected = np.argmax(acc / cnt[..., None], axis=-1).astype(np.int32)[None]
+    np.testing.assert_array_equal(got, expected)
