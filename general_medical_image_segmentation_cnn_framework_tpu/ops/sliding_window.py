@@ -51,27 +51,40 @@ _forward_tiles = partial(jax.jit, static_argnames=("forward", "patch_size"))(
 )
 
 
-@partial(jax.jit, static_argnames=("forward", "patch_size", "batch_size"))
-def _forward_all_tiles(forward, variables, volume, starts, patch_size, batch_size):
+def _shard_chunk(chunk, mesh):
+    """Constrain a [bs, ...] chunk to be sharded over the mesh 'data' axis
+    (GSPMD splits the gather + forward across devices)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(*(("data",) + (None,) * (chunk.ndim - 1)))
+    return jax.lax.with_sharding_constraint(chunk, NamedSharding(mesh, spec))
+
+
+@partial(jax.jit, static_argnames=("forward", "patch_size", "batch_size", "mesh"))
+def _forward_all_tiles(forward, variables, volume, starts, patch_size, batch_size, mesh=None):
     """ONE dispatch per volume: lax.scan over tile chunks.
 
     starts: [n_chunks * batch_size, 3]. Returns [N, pX, pY, pZ] int8 masks.
     A single XLA program (the SURVEY §7 'batched scan' design) — on
     high-latency transports this collapses per-chunk dispatch round trips
-    into one.
+    into one. With `mesh`, each chunk's tiles shard over the 'data' axis.
     """
     chunked = starts.reshape(-1, batch_size, 3)
 
     def body(_, chunk):
+        if mesh is not None:
+            chunk = _shard_chunk(chunk, mesh)
         masks = _forward_tiles_impl(forward, variables, volume, chunk, patch_size)
+        if mesh is not None:
+            masks = _shard_chunk(masks, mesh)
         return None, masks.astype(jnp.int8)
 
     _, masks = jax.lax.scan(body, None, chunked)
     return masks.reshape(-1, *patch_size)
 
 
-@partial(jax.jit, static_argnames=("forward", "patch_size", "batch_size"))
-def _forward_all_tiles_logits(forward, variables, volume, starts, patch_size, batch_size):
+@partial(jax.jit, static_argnames=("forward", "patch_size", "batch_size", "mesh"))
+def _forward_all_tiles_logits(forward, variables, volume, starts, patch_size, batch_size, mesh=None):
     """Like _forward_all_tiles but returns raw logits [N, p..., C] for soft
     (mean-logits) blending."""
     chunked = starts.reshape(-1, batch_size, 3)
@@ -83,8 +96,13 @@ def _forward_all_tiles_logits(forward, variables, volume, starts, patch_size, ba
         )
 
     def body(_, chunk):
+        if mesh is not None:
+            chunk = _shard_chunk(chunk, mesh)
         tiles = jax.vmap(gather)(chunk)
-        return None, forward(variables, tiles).astype(jnp.float32)
+        out = forward(variables, tiles).astype(jnp.float32)
+        if mesh is not None:
+            out = _shard_chunk(out, mesh)
+        return None, out
 
     _, logits = jax.lax.scan(body, None, chunked)
     return logits.reshape((-1,) + tuple(patch_size) + (logits.shape[-1],))
@@ -98,6 +116,7 @@ def sliding_window_predict(
     patch_overlap: Sequence[int],
     batch_size: int = 4,
     overlap_mode: str = "crop",
+    mesh=None,
 ) -> np.ndarray:
     """Predict a full volume.
 
@@ -112,6 +131,11 @@ def sliding_window_predict(
       'mean_logits' — average raw logits across overlapping tiles, argmax
                       once at the end (soft blending; smoother seams —
                       capability extension).
+    mesh:      optional jax.sharding.Mesh with a 'data' axis: the tile
+               batch is sharded over it (volume + variables replicated),
+               so each scan step runs batch_size/n_devices tiles per chip —
+               whole-volume inference scales across the mesh with no
+               aggregation change (serving-scale capability extension).
     Returns [1, X, Y, Z] int mask.
     """
     patch_size = tuple(int(p) for p in patch_size)
@@ -120,6 +144,14 @@ def sliding_window_predict(
     n = len(locations)
 
     vol_dev = jnp.asarray(np.moveaxis(volume, 0, -1))  # [X, Y, Z, C]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = mesh.shape["data"]
+        if batch_size % n_data:
+            batch_size = n_data * max(1, batch_size // n_data)
+        vol_dev = jax.device_put(vol_dev, NamedSharding(mesh, P()))
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
 
     # pad location count to a multiple of batch_size -> single compiled shape
     n_pad = (-n) % batch_size
@@ -130,7 +162,8 @@ def sliding_window_predict(
     if overlap_mode == "mean_logits":
         logits = np.asarray(
             _forward_all_tiles_logits(
-                forward, variables, vol_dev, jnp.asarray(starts), patch_size, batch_size
+                forward, variables, vol_dev, jnp.asarray(starts), patch_size,
+                batch_size, mesh,
             )
         )[:n]
         agg = GridAggregator(
@@ -145,7 +178,8 @@ def sliding_window_predict(
     )
     all_masks = np.asarray(
         _forward_all_tiles(
-            forward, variables, vol_dev, jnp.asarray(starts), patch_size, batch_size
+            forward, variables, vol_dev, jnp.asarray(starts), patch_size,
+            batch_size, mesh,
         )
     )
     aggregator.add_batch(all_masks[:n, None].astype(np.int32), locations)

@@ -103,6 +103,21 @@ def predict(model=None, config=None, logger=None):
     # overlap must stay below the patch extent (e.g. depth-1 slabs for 2-D)
     overlap = tuple(min(o, p - 1) for o, p in zip(overlap, config.patch_size))
 
+    # multi-chip serving: shard the tile batch over the mesh's data axis
+    mesh = None
+    if len(jax.devices()) > 1:
+        from .parallel.mesh import make_data_mesh
+
+        mesh = make_data_mesh(
+            getattr(config, "mesh_shape", "data=-1"), int(config.batch_size)
+        )
+        if mesh.shape.get("data", 1) <= 1:
+            mesh = None
+        else:
+            logger.info(
+                f"inference tiles sharded over {mesh.shape['data']} devices"
+            )
+
     znorm = ZNormalization()
     progress = ProgressBars()
     file_task = progress.add_task("[red]file", total=len(pairs))
@@ -121,6 +136,7 @@ def predict(model=None, config=None, logger=None):
             overlap,
             batch_size=int(config.batch_size),
             overlap_mode=getattr(config, "blend", "crop") or "crop",
+            mesh=mesh,
         )
         gt_t = subject.gt.data
 

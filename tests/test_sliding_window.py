@@ -179,6 +179,36 @@ def test_crop_differs_from_naive_overwrite():
     assert (got[0] != naive).any(), "test model failed to discriminate policies"
 
 
+def test_sharded_inference_matches_unsharded():
+    """Tile batch sharded over an 8-device mesh == single-device result
+    (multi-chip serving path; GSPMD splits gather+forward per chunk)."""
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(7)
+    vol = rng.normal(size=(1, 20, 24, 28)).astype(np.float32)
+    patch, overlap = (12, 12, 12), (4, 4, 4)
+    devices = np.asarray(jax.devices()[:8])
+    mesh = Mesh(devices, ("data",))
+    want = sliding_window_predict(
+        _position_dependent_forward, {}, vol, patch, overlap, batch_size=8
+    )
+    got = sliding_window_predict(
+        _position_dependent_forward, {}, vol, patch, overlap, batch_size=8,
+        mesh=mesh,
+    )
+    np.testing.assert_array_equal(got, want)
+    # also the soft-blending path
+    want_m = sliding_window_predict(
+        _position_dependent_forward, {}, vol, patch, overlap, batch_size=8,
+        overlap_mode="mean_logits",
+    )
+    got_m = sliding_window_predict(
+        _position_dependent_forward, {}, vol, patch, overlap, batch_size=8,
+        overlap_mode="mean_logits", mesh=mesh,
+    )
+    np.testing.assert_array_equal(got_m, want_m)
+
+
 def test_mean_logits_matches_independent_average():
     rng = np.random.default_rng(6)
     vol = rng.normal(size=(1, 20, 20, 20)).astype(np.float32)
