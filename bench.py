@@ -63,7 +63,9 @@ def bench_train(network="unet", patch=128, n_steps=10, bs=1):
     return bs * n_steps / (time.perf_counter() - t0)
 
 
-def bench_inference(network="unet", n_volumes=3, vol_shape=(256, 256, 128), patch=128, batch_size=2):
+def bench_inference(network="unet", n_volumes=3, vol_shape=(256, 256, 128), patch=128, batch_size=1):
+    # batch_size=1 measured fastest at 128^3 on v5e (larger tiles batches
+    # regress XLA layouts; see BASELINE.md r2 notes)
     from general_medical_image_segmentation_cnn_framework_tpu.models import build_model
     from general_medical_image_segmentation_cnn_framework_tpu.ops.sliding_window import (
         sliding_window_predict,

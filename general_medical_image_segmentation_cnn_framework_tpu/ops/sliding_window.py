@@ -51,6 +51,115 @@ _forward_tiles = partial(jax.jit, static_argnames=("forward", "patch_size"))(
 )
 
 
+def _crop_keep_mask(starts, patch_size, spatial, half):
+    """[pX, pY, pZ] bool: which voxels of a tile at `starts` survive the
+    border-aware half-overlap crop (TorchIO crop semantics)."""
+    keeps = []
+    for d in range(3):
+        idx = jnp.arange(patch_size[d])
+        c0 = jnp.where(starts[d] == 0, 0, half[d])
+        c1 = jnp.where(starts[d] + patch_size[d] == spatial[d], 0, half[d])
+        keeps.append((idx >= c0) & (idx < patch_size[d] - c1))
+    return (
+        keeps[0][:, None, None] & keeps[1][None, :, None] & keeps[2][None, None, :]
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("forward", "patch_size", "batch_size", "overlap", "mesh"),
+)
+def _predict_volume_crop(
+    forward, variables, volume, starts, patch_size, batch_size, overlap, mesh=None
+):
+    """Whole-volume crop-mode prediction fully on device: ONE program that
+    scans tile chunks AND aggregates (border-aware half-overlap crop, later
+    tiles overwrite) into an int8 mask volume — only the final [X, Y, Z]
+    mask crosses the host link, not every tile (a large win on tunneled
+    transports; the reference round-trips every patch,
+    /root/reference/predict.py:141-146)."""
+    spatial = volume.shape[:-1]
+    half = tuple(o // 2 for o in overlap)
+    chunked = starts.reshape(-1, batch_size, 3)
+    out0 = jnp.zeros(spatial, jnp.int8)
+
+    def body(out, chunk):
+        if mesh is not None:
+            chunk = _shard_chunk(chunk, mesh)
+        masks = _forward_tiles_impl(forward, variables, volume, chunk, patch_size)
+        masks = masks.astype(jnp.int8)
+
+        def write(i, vol_out):
+            start = chunk[i]
+            keep = _crop_keep_mask(start, patch_size, spatial, half)
+            cur = jax.lax.dynamic_slice(vol_out, start, patch_size)
+            upd = jnp.where(keep, masks[i], cur)
+            return jax.lax.dynamic_update_slice(vol_out, upd, start)
+
+        out = jax.lax.fori_loop(0, batch_size, write, out)
+        return out, None
+
+    out, _ = jax.lax.scan(body, out0, chunked)
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("forward", "patch_size", "batch_size", "mesh"),
+)
+def _predict_volume_mean_logits(
+    forward, variables, volume, starts, n_valid, patch_size, batch_size, mesh=None
+):
+    """Whole-volume soft-blend prediction on device: accumulate logits +
+    counts per voxel inside the scan, argmax once at the end. Only the
+    final int8 mask leaves the device. Tiles with global index >= n_valid
+    (batch padding) get zero weight."""
+    spatial = volume.shape[:-1]
+    chunked = starts.reshape(-1, batch_size, 3)
+
+    def gather(start):
+        return jax.lax.dynamic_slice(
+            volume, (start[0], start[1], start[2], 0),
+            patch_size + (volume.shape[-1],),
+        )
+
+    def body(carry, xs):
+        acc, cnt = carry
+        chunk, ci = xs
+        if mesh is not None:
+            chunk = _shard_chunk(chunk, mesh)
+        tiles = jax.vmap(gather)(chunk)
+        logits = forward(variables, tiles).astype(jnp.float32)
+        if mesh is not None:
+            logits = _shard_chunk(logits, mesh)
+
+        def write(i, carry):
+            acc, cnt = carry
+            start = chunk[i]
+            w = jnp.where(ci * batch_size + i < n_valid, 1.0, 0.0)
+            s4 = (start[0], start[1], start[2], 0)
+            cur = jax.lax.dynamic_slice(acc, s4, patch_size + (acc.shape[-1],))
+            acc = jax.lax.dynamic_update_slice(acc, cur + w * logits[i], s4)
+            curc = jax.lax.dynamic_slice(cnt, start, patch_size)
+            cnt = jax.lax.dynamic_update_slice(cnt, curc + w, start)
+            return acc, cnt
+
+        acc, cnt = jax.lax.fori_loop(0, batch_size, write, (acc, cnt))
+        return (acc, cnt), None
+
+    n_out = jax.eval_shape(
+        lambda v, t: forward(v, t),
+        variables,
+        jax.ShapeDtypeStruct((batch_size,) + patch_size + (volume.shape[-1],), volume.dtype),
+    ).shape[-1]
+    acc0 = jnp.zeros(spatial + (n_out,), jnp.float32)
+    cnt0 = jnp.zeros(spatial, jnp.float32)
+    (acc, cnt), _ = jax.lax.scan(
+        body, (acc0, cnt0), (chunked, jnp.arange(chunked.shape[0]))
+    )
+    return jnp.argmax(acc / jnp.maximum(cnt, 1.0)[..., None], axis=-1).astype(jnp.int8)
+
+
 def _shard_chunk(chunk, mesh):
     """Constrain a [bs, ...] chunk to be sharded over the mesh 'data' axis
     (GSPMD splits the gather + forward across devices)."""
@@ -117,6 +226,7 @@ def sliding_window_predict(
     batch_size: int = 4,
     overlap_mode: str = "crop",
     mesh=None,
+    aggregate: str = "device",
 ) -> np.ndarray:
     """Predict a full volume.
 
@@ -136,6 +246,13 @@ def sliding_window_predict(
                so each scan step runs batch_size/n_devices tiles per chip —
                whole-volume inference scales across the mesh with no
                aggregation change (serving-scale capability extension).
+    aggregate:
+      'device' (default) — the overlap aggregation runs INSIDE the scan
+               program; only the final [X, Y, Z] int8 mask crosses the
+               host link (the reference round-trips every patch).
+               Identical output to 'host' (tested).
+      'host'   — tiles come back to the host and aggregate through
+               GridAggregator (the TorchIO-shaped reference path).
     Returns [1, X, Y, Z] int mask.
     """
     patch_size = tuple(int(p) for p in patch_size)
@@ -159,10 +276,19 @@ def sliding_window_predict(
     if n_pad:
         starts = np.concatenate([starts, np.repeat(starts[-1:], n_pad, axis=0)])
 
+    starts_dev = jnp.asarray(starts)
     if overlap_mode == "mean_logits":
+        if aggregate == "device":
+            mask = np.asarray(
+                _predict_volume_mean_logits(
+                    forward, variables, vol_dev, starts_dev, jnp.int32(n),
+                    patch_size, batch_size, mesh,
+                )
+            )
+            return mask[None].astype(np.int32)
         logits = np.asarray(
             _forward_all_tiles_logits(
-                forward, variables, vol_dev, jnp.asarray(starts), patch_size,
+                forward, variables, vol_dev, starts_dev, patch_size,
                 batch_size, mesh,
             )
         )[:n]
@@ -173,12 +299,21 @@ def sliding_window_predict(
         agg.add_batch(np.moveaxis(logits, -1, 1), locations)
         return np.argmax(agg.get_output_tensor(), axis=0)[None].astype(np.int32)
 
+    if aggregate == "device":
+        mask = np.asarray(
+            _predict_volume_crop(
+                forward, variables, vol_dev, starts_dev, patch_size,
+                batch_size, tuple(int(o) for o in patch_overlap), mesh,
+            )
+        )
+        return mask[None].astype(np.int32)
+
     aggregator = GridAggregator(
         spatial, patch_overlap, overlap_mode=overlap_mode, num_channels=1, dtype=np.int32
     )
     all_masks = np.asarray(
         _forward_all_tiles(
-            forward, variables, vol_dev, jnp.asarray(starts), patch_size,
+            forward, variables, vol_dev, starts_dev, patch_size,
             batch_size, mesh,
         )
     )

@@ -179,6 +179,26 @@ def test_crop_differs_from_naive_overwrite():
     assert (got[0] != naive).any(), "test model failed to discriminate policies"
 
 
+def test_device_aggregation_matches_host():
+    """The in-scan device aggregation (only the final mask leaves the
+    device) must be byte-identical to the host GridAggregator path, for
+    both crop and mean_logits, including non-divisible batch padding."""
+    rng = np.random.default_rng(8)
+    vol = rng.normal(size=(1, 20, 24, 44)).astype(np.float32)
+    patch, overlap = (12, 12, 12), (4, 4, 4)
+    for mode in ("crop", "mean_logits"):
+        for bs in (3, 4, 7):
+            dev = sliding_window_predict(
+                _position_dependent_forward, {}, vol, patch, overlap,
+                batch_size=bs, overlap_mode=mode, aggregate="device",
+            )
+            host = sliding_window_predict(
+                _position_dependent_forward, {}, vol, patch, overlap,
+                batch_size=bs, overlap_mode=mode, aggregate="host",
+            )
+            np.testing.assert_array_equal(dev, host)
+
+
 def test_sharded_inference_matches_unsharded():
     """Tile batch sharded over an 8-device mesh == single-device result
     (multi-chip serving path; GSPMD splits gather+forward per chunk)."""
