@@ -54,13 +54,45 @@ class TorchConv(nn.Module):
     def __call__(self, x):
         import os
 
-        from ..ops.conv3d import conv3d_decomposed, conv3d_tapgrouped, eligible
+        from ..ops.conv3d import (
+            conv3d_decomposed,
+            conv3d_tapgrouped,
+            conv_patch_matmul,
+            eligible,
+        )
 
         n = x.ndim - 2
         k = _to_tuple(self.kernel_size, n)
         s = _to_tuple(self.stride, n)
         p = _to_tuple(self.padding, n)
         d = _to_tuple(self.dilation, n)
+
+        # patch embedding (stride == kernel, no pad, e.g. ViT k16s16):
+        # non-overlapping windows -> one full-tile matmul
+        if (
+            n == 3
+            and k == s
+            and p == (0, 0, 0)
+            and d == (1, 1, 1)
+            and self.groups == 1
+            and all(x.shape[1 + i] % k[i] == 0 for i in range(3))
+            and not os.environ.get("GMIST_NATIVE_CONV3D")
+        ):
+            cin = x.shape[-1]
+            kernel = self.param(
+                "kernel",
+                kernel_initializer(self.init_type),
+                k + (cin, self.features),
+                jnp.float32,
+            )
+            y = conv_patch_matmul(x.astype(self.dtype), kernel.astype(self.dtype))
+            if self.use_bias:
+                bias = self.param(
+                    "bias", bias_initializer(self.init_type),
+                    (self.features,), jnp.float32,
+                )
+                y = y + bias.astype(y.dtype)
+            return y
 
         if (
             n == 3

@@ -129,6 +129,27 @@ def conv3d_decomposed(
     return y.reshape(n, d_out, h_out, w_out, cout).astype(x.dtype)
 
 
+def conv_patch_matmul(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Conv with stride == kernel_size, no padding (patch embedding) as ONE
+    matmul over space-to-depth blocks.
+
+    x: [N, D, H, W, Cin]; kernel: [kd, kh, kw, Cin, Cout] with stride ==
+    (kd, kh, kw). Non-overlapping windows make the conv a plain
+    [V, kd*kh*kw*Cin] @ [K, Cout] matmul (full MXU K and N tiles vs the
+    narrow native conv) — the UNETR/ViT patch-embed hot path
+    (/root/reference/models/three_d/unetr.py:128-145).
+    """
+    n, d, h, w, cin = x.shape
+    kd, kh, kw, _, cout = kernel.shape
+    do, ho, wo = d // kd, h // kh, w // kw
+    xb = x.reshape(n, do, kd, ho, kh, wo, kw, cin)
+    xb = xb.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # n do ho wo kd kh kw cin
+    xm = xb.reshape(n * do * ho * wo, kd * kh * kw * cin)
+    km = kernel.reshape(kd * kh * kw * cin, cout)
+    y = xm @ km
+    return y.reshape(n, do, ho, wo, cout).astype(x.dtype)
+
+
 def conv_transpose_matmul(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """ConvTranspose with kernel_size == stride as ONE matmul + pixel
     shuffle (depth-to-space).

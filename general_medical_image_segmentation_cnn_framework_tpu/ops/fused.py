@@ -144,10 +144,11 @@ def _pallas_wins_probe() -> bool:
     transport. Standalone the fused kernel is fast everywhere, but inside a
     larger jitted program each pallas_call serializes against the program on
     some remote transports (+64 ms/step measured on a tunneled dev TPU)
-    while being free on directly-attached hardware. The probe times a small
-    jitted program (fused sums + a matmul) with the Pallas path vs the jnp
-    path and enables Pallas only where it doesn't lose. Cached per process
-    and on disk (keyed by device kind)."""
+    while being free on directly-attached hardware. The probe times the
+    real fused fwd+bwd at the production 128^3 logits size inside a jitted
+    program with the Pallas path vs the jnp path and enables Pallas only
+    where it doesn't lose. Cached per process and on disk (keyed by device
+    kind)."""
     global _PROBE_CACHE
     if _PROBE_CACHE is not None:
         return _PROBE_CACHE
@@ -179,11 +180,20 @@ import time, json, sys
 import jax, jax.numpy as jnp
 from general_medical_image_segmentation_cnn_framework_tpu.ops import fused
 
+# Guard against recursion: without this, run(False) would trace _on_tpu()
+# -> _pallas_wins_probe() in the child and spawn another subprocess.
+# run(False) then measures the clean jnp baseline; run(True) short-circuits
+# through _FORCE_PALLAS.
+fused._PROBE_CACHE = False
+
+# 128^3 logits — the production patch size. Smaller probes do NOT
+# reproduce the pathology (measured: a 64^3 probe times clean while the
+# real 128^3 step pays +58 ms; the 128^3 probe either shows the penalty
+# or hangs the compile, and either counts as a loss via the timeout).
 key = jax.random.PRNGKey(0)
-v = 64 ** 3
 gen = jax.jit(lambda k: (
-    jax.random.normal(jax.random.fold_in(k, 0), (1, 64, 64, 64, 2), jnp.float32),
-    (jax.random.uniform(jax.random.fold_in(k, 1), (1, 64, 64, 64, 1)) > 0.5).astype(jnp.float32),
+    jax.random.normal(jax.random.fold_in(k, 0), (1, 128, 128, 128, 2), jnp.float32),
+    (jax.random.uniform(jax.random.fold_in(k, 1), (1, 128, 128, 128, 1)) > 0.5).astype(jnp.float32),
     jax.random.normal(jax.random.fold_in(k, 2), (4096, 4096), jnp.bfloat16),
 ))
 logits, g, w = gen(key)
@@ -220,7 +230,7 @@ print(json.dumps({"t_jnp": t_jnp, "t_pal": t_pal}))
         env.pop("GMIST_PALLAS_FUSED", None)
         proc = subprocess.run(
             [sys.executable, "-c", probe_code],
-            capture_output=True, text=True, timeout=240, env=env,
+            capture_output=True, text=True, timeout=300, env=env,
         )
         data = json.loads(proc.stdout.strip().splitlines()[-1])
         wins = data["t_pal"] < data["t_jnp"] * 1.1 + 1e-3
@@ -250,15 +260,17 @@ def _on_tpu() -> bool:
 
     if _FORCE_PALLAS:
         return True
-    env = os.environ.get("GMIST_PALLAS_FUSED")
-    if env is not None and env != "":
-        return env != "0"
     try:
         on_tpu = jax.devices()[0].platform.startswith("tpu") or (
             jax.default_backend() not in ("cpu", "gpu")
         )
     except Exception:
-        return False
+        on_tpu = False
+    env = os.environ.get("GMIST_PALLAS_FUSED")
+    if env is not None and env != "":
+        # manual override — but the TPU kernel can't lower on cpu/gpu, so
+        # the platform guard still applies to the opt-in
+        return env != "0" and on_tpu
     return on_tpu and _pallas_wins_probe()
 
 

@@ -299,7 +299,9 @@ def sliding_window_predict(
         agg.add_batch(np.moveaxis(logits, -1, 1), locations)
         return np.argmax(agg.get_output_tensor(), axis=0)[None].astype(np.int32)
 
-    if aggregate == "device":
+    # device aggregation implements crop semantics only; other modes
+    # (e.g. 'average' mask blending) go through the host GridAggregator
+    if aggregate == "device" and overlap_mode == "crop":
         mask = np.asarray(
             _predict_volume_crop(
                 forward, variables, vol_dev, starts_dev, patch_size,

@@ -92,6 +92,40 @@ def test_tapgrouped_gradients_match():
     np.testing.assert_allclose(np.asarray(gk_t), np.asarray(gk_n), rtol=1e-4, atol=1e-4)
 
 
+def test_patch_matmul_matches_native():
+    """stride == kernel (ViT patch embed) as one matmul."""
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.conv3d import (
+        conv_patch_matmul,
+    )
+
+    rng = np.random.default_rng(5)
+    for k in ((2, 2, 2), (4, 4, 4), (1, 1, 1)):
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 3)).astype(np.float32))
+        kernel = jnp.asarray(rng.normal(size=k + (3, 6)).astype(np.float32))
+        got = conv_patch_matmul(x, kernel)
+        want = jax.lax.conv_general_dilated(
+            x, kernel, k, "VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC")
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+    # gradients flow through the reshape/transpose formulation exactly
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 2)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(2, 2, 2, 2, 5)).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(1, 2, 2, 2, 5)).astype(np.float32))
+    g_m = jax.grad(lambda kk: jnp.sum(conv_patch_matmul(x, kk) * r))(kernel)
+    g_n = jax.grad(
+        lambda kk: jnp.sum(
+            jax.lax.conv_general_dilated(
+                x, kk, (2, 2, 2), "VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+            * r
+        )
+    )(kernel)
+    np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_n), rtol=1e-4, atol=1e-4)
+
+
 def test_eligibility():
     assert eligible((3, 3, 3), (1, 1, 1), (1, 1, 1), 1)
     assert eligible((3, 3, 3), (2, 2, 2), (1, 1, 1), 1)

@@ -199,6 +199,28 @@ def test_device_aggregation_matches_host():
             np.testing.assert_array_equal(dev, host)
 
 
+def test_average_mode_routes_to_host_aggregator():
+    """overlap_mode='average' has no device implementation — it must go
+    through GridAggregator (and not silently get crop semantics)."""
+    rng = np.random.default_rng(9)
+    vol = rng.normal(size=(1, 20, 20, 20)).astype(np.float32)
+    patch, overlap = (12, 12, 12), (4, 4, 4)
+    avg_dev = sliding_window_predict(
+        _position_dependent_forward, {}, vol, patch, overlap,
+        batch_size=3, overlap_mode="average", aggregate="device",
+    )
+    avg_host = sliding_window_predict(
+        _position_dependent_forward, {}, vol, patch, overlap,
+        batch_size=3, overlap_mode="average", aggregate="host",
+    )
+    np.testing.assert_array_equal(avg_dev, avg_host)
+    crop = sliding_window_predict(
+        _position_dependent_forward, {}, vol, patch, overlap,
+        batch_size=3, overlap_mode="crop",
+    )
+    assert (avg_dev != crop).any(), "average mode silently produced crop output"
+
+
 def test_sharded_inference_matches_unsharded():
     """Tile batch sharded over an 8-device mesh == single-device result
     (multi-chip serving path; GSPMD splits gather+forward per chunk)."""
