@@ -486,14 +486,18 @@ class SwinTransformerSys3D(nn.Module):
         num_layers = len(self.depths)
         dpr = list(np.linspace(0, self.drop_path_rate, sum(self.depths)))
 
-        # patch embed: conv k4 s4 (+ LayerNorm)
-        y = nn.Conv(
+        # patch embed: conv k4 s4 (+ LayerNorm) — stride==kernel routes to
+        # the space-to-depth matmul (ops/conv3d.conv_patch_matmul); the
+        # explicit name keeps the variable tree identical to nn.Conv's
+        from ...nn.blocks import TorchConv
+
+        y = TorchConv(
             features=self.embed_dim,
             kernel_size=self.patch_size,
-            strides=self.patch_size,
-            padding="VALID",
+            stride=self.patch_size,
+            padding=0,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
+            name="Conv_0",
         )(x)
         if self.patch_norm:
             y = nn.LayerNorm(dtype=self.dtype)(y)
@@ -555,10 +559,10 @@ class SwinTransformerSys3D(nn.Module):
 
         y = nn.LayerNorm(dtype=self.dtype)(y)
 
-        # up x4 + head
+        # up x4 + head (1x1x1 projection -> plain matmul via TorchConv)
         y = FinalPatchExpandX4(self.embed_dim, 4, self.dtype)(y)
-        y = nn.Conv(
-            features=self.num_classes, kernel_size=(1, 1, 1), use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32,
+        y = TorchConv(
+            features=self.num_classes, kernel_size=1, stride=1, padding=0,
+            use_bias=False, dtype=self.dtype, name="Conv_1",
         )(y)
         return y.astype(jnp.float32)

@@ -121,33 +121,69 @@ def predict(model=None, config=None, logger=None):
     znorm = ZNormalization()
     progress = ProgressBars()
     file_task = progress.add_task("[red]file", total=len(pairs))
-    pre_ls, rec_ls, jac_ls, dice_ls, hs95_ls = [], [], [], [], []
-    for i, pair in enumerate(pairs):
-        subject = load_subject(pair)
-        affine = subject.source.affine
-        spacing = subject.source.spacing
-        src = znorm.normalize_array(subject.source.data)
 
-        pred_t = sliding_window_predict(
-            forward,
-            variables,
-            src,
-            config.patch_size,
-            overlap,
-            batch_size=int(config.batch_size),
-            overlap_mode=getattr(config, "blend", "crop") or "crop",
-            mesh=mesh,
-        )
-        gt_t = subject.gt.data
+    # Pipelined predict: a loader thread prefetches + z-normalizes the next
+    # volume while the device runs the current one, and mask writing + the
+    # (scipy EDT, host-side) HD95 metric run on worker threads — the TPU
+    # never idles on host I/O (the reference loop is fully serial,
+    # /root/reference/predict.py:90-184).
+    import queue as queue_mod
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
 
+    load_q: queue_mod.Queue = queue_mod.Queue(maxsize=2)
+
+    def _loader():
+        try:
+            for i, pair in enumerate(pairs):
+                subject = load_subject(pair)
+                src = znorm.normalize_array(subject.source.data)
+                load_q.put((i, subject, src))
+        except BaseException as exc:
+            load_q.put(exc)
+        finally:
+            load_q.put(None)
+
+    threading.Thread(target=_loader, daemon=True).start()
+
+    def _finish(i, pred_t, gt_t, affine, spacing):
         save_pred(pred_t, affine, i, config)
-
         if int(config.out_classes) > 2:
-            precision, recall, jaccard, dice, hs95 = multiclass_seg_metrics(
+            return multiclass_seg_metrics(
                 gt_t, pred_t, int(config.out_classes), spacing
             )
-        else:
-            precision, recall, jaccard, dice, hs95 = seg_metrics(gt_t, pred_t, spacing)
+        return seg_metrics(gt_t, pred_t, spacing)
+
+    results = [None] * len(pairs)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = {}
+        while True:
+            item = load_q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            i, subject, src = item
+            pred_t = sliding_window_predict(
+                forward,
+                variables,
+                src,
+                config.patch_size,
+                overlap,
+                batch_size=int(config.batch_size),
+                overlap_mode=getattr(config, "blend", "crop") or "crop",
+                mesh=mesh,
+            )
+            futures[i] = pool.submit(
+                _finish, i, pred_t, subject.gt.data,
+                subject.source.affine, subject.source.spacing,
+            )
+            progress.update(file_task, completed=i + 1)
+        for i, fut in futures.items():
+            results[i] = fut.result()
+
+    pre_ls, rec_ls, jac_ls, dice_ls, hs95_ls = [], [], [], [], []
+    for i, (precision, recall, jaccard, dice, hs95) in enumerate(results):
         pre_ls.append(precision)
         rec_ls.append(recall)
         jac_ls.append(jaccard)
@@ -158,7 +194,6 @@ def predict(model=None, config=None, logger=None):
             f"\nprecision: {precision}\nrecall: {recall}"
             f"\njaccard: {jaccard}\ndice: {dice}\nhs95: {hs95}"
         )
-        progress.update(file_task, completed=i + 1)
 
     progress.stop()
     save_csv(pre_ls, rec_ls, jac_ls, dice_ls, hs95_ls, config)
