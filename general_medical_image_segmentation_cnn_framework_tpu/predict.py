@@ -164,6 +164,19 @@ def predict(model=None, config=None, logger=None):
             if isinstance(item, BaseException):
                 raise item
             i, subject, src = item
+            # shape bucketing (opt-in): round spatial dims up to a multiple
+            # so heterogeneous volumes share ONE compiled program (each new
+            # volume shape otherwise recompiles the whole scan — minutes on
+            # remote-compile transports). Zero-pad after z-norm, crop the
+            # mask back.
+            bucket = int(getattr(config, "shape_bucket", 0) or 0)
+            orig_shape = src.shape[1:]
+            if bucket:
+                padded = tuple(-(-s // bucket) * bucket for s in orig_shape)
+                pads = [(0, 0)] + [
+                    (0, p - s) for p, s in zip(padded, orig_shape)
+                ]
+                src = np.pad(src, pads)
             pred_t = sliding_window_predict(
                 forward,
                 variables,
@@ -174,6 +187,10 @@ def predict(model=None, config=None, logger=None):
                 overlap_mode=getattr(config, "blend", "crop") or "crop",
                 mesh=mesh,
             )
+            if bucket:
+                pred_t = pred_t[
+                    :, : orig_shape[0], : orig_shape[1], : orig_shape[2]
+                ]
             futures[i] = pool.submit(
                 _finish, i, pred_t, subject.gt.data,
                 subject.source.affine, subject.source.spacing,
