@@ -91,6 +91,33 @@ def bench_inference(network="unet", n_volumes=3, vol_shape=(256, 256, 128), patc
     return 60.0 / float(np.mean(times))
 
 
+def bench_whole_volume(network="unet", n_volumes=5, vol_shape=(256, 256, 128)):
+    """Single-shot full-volume inference (config.whole_volume): no tiling,
+    bf16 transfer."""
+    import jax.numpy as jnp
+
+    from general_medical_image_segmentation_cnn_framework_tpu.models import build_model
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.sliding_window import (
+        whole_volume_predict,
+    )
+    from general_medical_image_segmentation_cnn_framework_tpu.predict import make_forward_fn
+    from general_medical_image_segmentation_cnn_framework_tpu.train import init_train_state
+
+    config = _config(network, 128)
+    model = build_model(config)
+    params, stats, _, _ = init_train_state(config, model, jax.random.PRNGKey(0))
+    variables = {"params": params, "batch_stats": stats}
+    forward = make_forward_fn(config, model)
+    vol = np.random.default_rng(0).normal(size=(1,) + tuple(vol_shape)).astype(np.float32)
+    whole_volume_predict(forward, variables, vol, input_dtype=jnp.bfloat16)
+    times = []
+    for _ in range(n_volumes):
+        t0 = time.perf_counter()
+        whole_volume_predict(forward, variables, vol, input_dtype=jnp.bfloat16)
+        times.append(time.perf_counter() - t0)
+    return 60.0 / float(np.mean(times))
+
+
 def main() -> None:
     n_dev = len(jax.devices())
     vols_per_min = bench_inference()
@@ -105,6 +132,11 @@ def main() -> None:
         except Exception as e:  # secondary benches are informational
             print(f"[companion] {metric} failed: {str(e)[:200]}", file=sys.stderr)
 
+    record(
+        f"unet3d_whole_volume_256x256x128_chips{n_dev}",
+        lambda: bench_whole_volume("unet"),
+        "vols/min",
+    )
     record(f"unet3d_128_train_chips{n_dev}", lambda: bench_train("unet"), "patches/s")
     record(f"unetr_128_train_chips{n_dev}", lambda: bench_train("unetr", n_steps=5), "patches/s")
     record(f"vtunet_128_train_chips{n_dev}", lambda: bench_train("vtnet", n_steps=5), "patches/s")

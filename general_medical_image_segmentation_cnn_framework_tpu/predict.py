@@ -177,16 +177,30 @@ def predict(model=None, config=None, logger=None):
                     (0, p - s) for p, s in zip(padded, orig_shape)
                 ]
                 src = np.pad(src, pads)
-            pred_t = sliding_window_predict(
-                forward,
-                variables,
-                src,
-                config.patch_size,
-                overlap,
-                batch_size=int(config.batch_size),
-                overlap_mode=getattr(config, "blend", "crop") or "crop",
-                mesh=mesh,
-            )
+            if getattr(config, "whole_volume", False):
+                import jax.numpy as jnp
+
+                from .ops.sliding_window import whole_volume_predict
+
+                in_dtype = (
+                    jnp.bfloat16
+                    if getattr(config, "precision", "") == "bfloat16"
+                    else None
+                )
+                pred_t = whole_volume_predict(
+                    forward, variables, src, mesh=mesh, input_dtype=in_dtype
+                )
+            else:
+                pred_t = sliding_window_predict(
+                    forward,
+                    variables,
+                    src,
+                    config.patch_size,
+                    overlap,
+                    batch_size=int(config.batch_size),
+                    overlap_mode=getattr(config, "blend", "crop") or "crop",
+                    mesh=mesh,
+                )
             if bucket:
                 pred_t = pred_t[
                     :, : orig_shape[0], : orig_shape[1], : orig_shape[2]

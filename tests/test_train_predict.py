@@ -128,6 +128,29 @@ def test_predict_shape_bucketing(tiny_config):
     assert mask.spatial_shape == (32, 32, 32)  # cropped back to the original
 
 
+def test_predict_whole_volume_mode(tiny_config):
+    """config.whole_volume=true: single-shot full-volume inference (no
+    tiling) through the predict driver."""
+    from general_medical_image_segmentation_cnn_framework_tpu.predict import predict
+
+    tiny_config.epochs = 2
+    tiny_config.init_lr = 0.01
+    train(tiny_config)
+    tiny_config.job_name = "predict"
+    tiny_config.ckpt = os.path.join(
+        tiny_config.hydra_path, tiny_config.latest_checkpoint_file
+    )
+    tiny_config.whole_volume = True
+    results = predict(config=tiny_config)
+    assert len(results["dice"]) == 2
+    run_dir = Path(tiny_config.hydra_path)
+    from general_medical_image_segmentation_cnn_framework_tpu.data.io import read_volume
+
+    mask = read_volume(sorted((run_dir / "pred_file").glob("pred-*.nii.gz"))[0])
+    assert mask.spatial_shape == (32, 32, 32)
+    assert set(np.unique(mask.data).tolist()) <= {0.0, 1.0}
+
+
 def test_predict_mhd_output(tiny_config):
     from general_medical_image_segmentation_cnn_framework_tpu.predict import predict
 
