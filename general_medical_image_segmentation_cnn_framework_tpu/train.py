@@ -242,14 +242,20 @@ def evaluate(config, model, params, batch_stats, logger, forward=None) -> float:
         forward = make_forward_fn(config, model)
     variables = {"params": params, "batch_stats": batch_stats}
     znorm = ZNormalization()
+    whole = bool(getattr(config, "whole_volume", False))
+    if whole:
+        from .ops.sliding_window import whole_volume_predict
     dices = []
     for pair in pairs:
         subject = load_subject(pair)
         src = znorm.normalize_array(subject.source.data)
-        pred = sliding_window_predict(
-            forward, variables, src, config.patch_size, overlap,
-            batch_size=int(config.batch_size),
-        )
+        if whole:
+            pred = whole_volume_predict(forward, variables, src)
+        else:
+            pred = sliding_window_predict(
+                forward, variables, src, config.patch_size, overlap,
+                batch_size=int(config.batch_size),
+            )
         if int(config.out_classes) > 2:
             _, dice = multiclass_seg_metrics(subject.gt.data, pred, int(config.out_classes))
         else:
