@@ -27,6 +27,22 @@ def is_2d(network: str) -> bool:
     return network in TWO_D_NETWORKS
 
 
+# Total spatial downsampling factor per 3-D network: whole-volume
+# inference pads each spatial dim to this multiple so every pool/merge
+# divides cleanly (and the decoder's upsamples line back up with skips).
+_PAD_MULTIPLE: Dict[str, int] = {
+    "vtnet": 32,  # k4s4 embed x 3 PatchMergings (H/W); windows self-pad
+    "unetr": 16,  # k16s16 patch embed
+    "highresnet": 1,  # fully dilated, no downsampling
+}
+
+
+def pad_multiple(network: str) -> int:
+    """Spatial-dim multiple required for a clean whole-volume forward
+    (default 16 = four stride-2 stages, the U-Net family)."""
+    return _PAD_MULTIPLE.get(network, 16)
+
+
 def register(name: str):
     def deco(factory: Callable):
         _REGISTRY[name] = factory

@@ -217,6 +217,36 @@ class WindowAttention3D(nn.Module):
         return out, out2, v, k, q
 
 
+class _MatmulConv(nn.Module):
+    """Conv with stride == kernel_size as ONE space-to-depth matmul
+    (ops/conv3d.conv_patch_matmul). Param names/init match flax nn.Conv, so
+    the variable tree (and the Swin inflation mapping) is unchanged."""
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ...ops.conv3d import conv_patch_matmul
+
+        k = tuple(self.kernel_size)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            k + (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        y = conv_patch_matmul(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class PositionalEncoding3D:
     """Sinusoidal 3-D positional encoding (reference :232-277). Pure fn."""
 
@@ -486,16 +516,12 @@ class SwinTransformerSys3D(nn.Module):
         num_layers = len(self.depths)
         dpr = list(np.linspace(0, self.drop_path_rate, sum(self.depths)))
 
-        # patch embed: conv k4 s4 (+ LayerNorm) — stride==kernel routes to
-        # the space-to-depth matmul (ops/conv3d.conv_patch_matmul); the
-        # explicit name keeps the variable tree identical to nn.Conv's
-        from ...nn.blocks import TorchConv
-
-        y = TorchConv(
+        # patch embed: conv k4 s4 (+ LayerNorm) — stride==kernel runs as a
+        # space-to-depth matmul (ops/conv3d.conv_patch_matmul); param names
+        # and init match nn.Conv so the variable tree is unchanged
+        y = _MatmulConv(
             features=self.embed_dim,
             kernel_size=self.patch_size,
-            stride=self.patch_size,
-            padding=0,
             dtype=self.dtype,
             name="Conv_0",
         )(x)
@@ -559,10 +585,10 @@ class SwinTransformerSys3D(nn.Module):
 
         y = nn.LayerNorm(dtype=self.dtype)(y)
 
-        # up x4 + head (1x1x1 projection -> plain matmul via TorchConv)
+        # up x4 + head (1x1x1 projection -> plain matmul)
         y = FinalPatchExpandX4(self.embed_dim, 4, self.dtype)(y)
-        y = TorchConv(
-            features=self.num_classes, kernel_size=1, stride=1, padding=0,
+        y = _MatmulConv(
+            features=self.num_classes, kernel_size=(1, 1, 1),
             use_bias=False, dtype=self.dtype, name="Conv_1",
         )(y)
         return y.astype(jnp.float32)

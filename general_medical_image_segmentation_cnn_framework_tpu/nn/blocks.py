@@ -68,7 +68,10 @@ class TorchConv(nn.Module):
         d = _to_tuple(self.dilation, n)
 
         # patch embedding (stride == kernel, no pad, e.g. ViT k16s16):
-        # non-overlapping windows -> one full-tile matmul
+        # non-overlapping windows -> one full-tile matmul. Params live in a
+        # child scope named like the nn.Conv fallback ("Conv_0"), so the
+        # variable tree is IDENTICAL across this branch, the native branch,
+        # and non-divisible input shapes — checkpoints interchange freely.
         if (
             n == 3
             and k == s
@@ -78,19 +81,15 @@ class TorchConv(nn.Module):
             and all(x.shape[1 + i] % k[i] == 0 for i in range(3))
             and not os.environ.get("GMIST_NATIVE_CONV3D")
         ):
-            cin = x.shape[-1]
-            kernel = self.param(
-                "kernel",
-                kernel_initializer(self.init_type),
-                k + (cin, self.features),
-                jnp.float32,
-            )
+            kernel, bias = _ConvParams(
+                features=self.features,
+                kernel_size=k,
+                use_bias=self.use_bias,
+                init_type=self.init_type,
+                name="Conv_0",
+            )(x.shape[-1])
             y = conv_patch_matmul(x.astype(self.dtype), kernel.astype(self.dtype))
-            if self.use_bias:
-                bias = self.param(
-                    "bias", bias_initializer(self.init_type),
-                    (self.features,), jnp.float32,
-                )
+            if bias is not None:
                 y = y + bias.astype(y.dtype)
             return y
 

@@ -67,18 +67,23 @@ def _crop_keep_mask(starts, patch_size, spatial, half):
 
 @partial(
     jax.jit,
-    static_argnames=("forward", "patch_size", "batch_size", "overlap", "mesh"),
+    static_argnames=(
+        "forward", "patch_size", "batch_size", "overlap", "mesh", "spatial"
+    ),
 )
 def _predict_volume_crop(
-    forward, variables, volume, starts, patch_size, batch_size, overlap, mesh=None
+    forward, variables, volume, starts, patch_size, batch_size, overlap,
+    mesh=None, spatial=None,
 ):
     """Whole-volume crop-mode prediction fully on device: ONE program that
     scans tile chunks AND aggregates (border-aware half-overlap crop, later
     tiles overwrite) into an int8 mask volume — only the final [X, Y, Z]
     mask crosses the host link, not every tile (a large win on tunneled
     transports; the reference round-trips every patch,
-    /root/reference/predict.py:141-146)."""
-    spatial = volume.shape[:-1]
+    /root/reference/predict.py:141-146). ``spatial`` overrides the output/
+    border shape when ``volume`` is bucket-padded beyond the true extent."""
+    if spatial is None:
+        spatial = volume.shape[:-1]
     half = tuple(o // 2 for o in overlap)
     chunked = starts.reshape(-1, batch_size, 3)
     out0 = jnp.zeros(spatial, jnp.int8)
@@ -105,16 +110,18 @@ def _predict_volume_crop(
 
 @partial(
     jax.jit,
-    static_argnames=("forward", "patch_size", "batch_size", "mesh"),
+    static_argnames=("forward", "patch_size", "batch_size", "mesh", "spatial"),
 )
 def _predict_volume_mean_logits(
-    forward, variables, volume, starts, n_valid, patch_size, batch_size, mesh=None
+    forward, variables, volume, starts, n_valid, patch_size, batch_size,
+    mesh=None, spatial=None,
 ):
     """Whole-volume soft-blend prediction on device: accumulate logits +
     counts per voxel inside the scan, argmax once at the end. Only the
     final int8 mask leaves the device. Tiles with global index >= n_valid
     (batch padding) get zero weight."""
-    spatial = volume.shape[:-1]
+    if spatial is None:
+        spatial = volume.shape[:-1]
     chunked = starts.reshape(-1, batch_size, 3)
 
     def gather(start):
@@ -289,6 +296,7 @@ def sliding_window_predict(
     overlap_mode: str = "crop",
     mesh=None,
     aggregate: str = "device",
+    true_spatial=None,
 ) -> np.ndarray:
     """Predict a full volume.
 
@@ -315,10 +323,15 @@ def sliding_window_predict(
                Identical output to 'host' (tested).
       'host'   — tiles come back to the host and aggregate through
                GridAggregator (the TorchIO-shaped reference path).
+    true_spatial:
+               the real volume extent when ``volume`` is padded beyond it
+               (shape bucketing): the tile grid, border-crop rules, and
+               output shape all follow the TRUE extent, so bucketed
+               predictions are byte-identical to unbucketed ones.
     Returns [1, X, Y, Z] int mask.
     """
     patch_size = tuple(int(p) for p in patch_size)
-    spatial = volume.shape[1:]
+    spatial = tuple(true_spatial) if true_spatial is not None else volume.shape[1:]
     locations = grid_locations(spatial, patch_size, patch_overlap)
     n = len(locations)
 
@@ -339,12 +352,13 @@ def sliding_window_predict(
         starts = np.concatenate([starts, np.repeat(starts[-1:], n_pad, axis=0)])
 
     starts_dev = jnp.asarray(starts)
+    spatial_static = spatial if true_spatial is not None else None
     if overlap_mode == "mean_logits":
         if aggregate == "device":
             mask = np.asarray(
                 _predict_volume_mean_logits(
                     forward, variables, vol_dev, starts_dev, jnp.int32(n),
-                    patch_size, batch_size, mesh,
+                    patch_size, batch_size, mesh, spatial_static,
                 )
             )
             return mask[None].astype(np.int32)
@@ -368,6 +382,7 @@ def sliding_window_predict(
             _predict_volume_crop(
                 forward, variables, vol_dev, starts_dev, patch_size,
                 batch_size, tuple(int(o) for o in patch_overlap), mesh,
+                spatial_static,
             )
         )
         return mask[None].astype(np.int32)

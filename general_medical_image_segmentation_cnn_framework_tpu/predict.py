@@ -103,20 +103,39 @@ def predict(model=None, config=None, logger=None):
     # overlap must stay below the patch extent (e.g. depth-1 slabs for 2-D)
     overlap = tuple(min(o, p - 1) for o, p in zip(overlap, config.patch_size))
 
-    # multi-chip serving: shard the tile batch over the mesh's data axis
+    # multi-chip serving: shard the tile batch over the mesh's data axis —
+    # or, in whole-volume mode, shard the volume spatially over EVERY
+    # device (spatial partitioning is independent of batch size)
+    from .models.registry import is_2d
+
+    whole_volume = bool(getattr(config, "whole_volume", False))
+    if whole_volume and is_2d(config.network):
+        logger.warning(
+            f"whole_volume is 3-D only; '{config.network}' is a 2-D "
+            "network — falling back to sliding-window prediction"
+        )
+        whole_volume = False
     mesh = None
     if len(jax.devices()) > 1:
-        from .parallel.mesh import make_data_mesh
+        if whole_volume:
+            from .parallel.mesh import make_mesh
 
-        mesh = make_data_mesh(
-            getattr(config, "mesh_shape", "data=-1"), int(config.batch_size)
-        )
-        if mesh.shape.get("data", 1) <= 1:
-            mesh = None
-        else:
+            mesh = make_mesh("data=-1")
             logger.info(
-                f"inference tiles sharded over {mesh.shape['data']} devices"
+                f"whole volume spatially sharded over {mesh.shape['data']} devices"
             )
+        else:
+            from .parallel.mesh import make_data_mesh
+
+            mesh = make_data_mesh(
+                getattr(config, "mesh_shape", "data=-1"), int(config.batch_size)
+            )
+            if mesh.shape.get("data", 1) <= 1:
+                mesh = None
+            else:
+                logger.info(
+                    f"inference tiles sharded over {mesh.shape['data']} devices"
+                )
 
     znorm = ZNormalization()
     progress = ProgressBars()
@@ -132,13 +151,21 @@ def predict(model=None, config=None, logger=None):
     from concurrent.futures import ThreadPoolExecutor
 
     load_q: queue_mod.Queue = queue_mod.Queue(maxsize=2)
+    stop = threading.Event()
 
     def _loader():
         try:
             for i, pair in enumerate(pairs):
+                if stop.is_set():
+                    return
                 subject = load_subject(pair)
                 src = znorm.normalize_array(subject.source.data)
-                load_q.put((i, subject, src))
+                while not stop.is_set():
+                    try:
+                        load_q.put((i, subject, src), timeout=0.5)
+                        break
+                    except queue_mod.Full:
+                        continue
         except BaseException as exc:
             load_q.put(exc)
         finally:
@@ -154,64 +181,73 @@ def predict(model=None, config=None, logger=None):
             )
         return seg_metrics(gt_t, pred_t, spacing)
 
+    # shape bucketing (opt-in): round spatial dims up to a multiple so
+    # heterogeneous volumes share ONE compiled program (each new volume
+    # shape otherwise recompiles the whole scan — minutes on remote-compile
+    # transports). The tile grid / crop rules follow the TRUE extent, so
+    # bucketed sliding-window predictions are byte-identical to unbucketed.
+    bucket = int(getattr(config, "shape_bucket", 0) or 0)
+
     results = [None] * len(pairs)
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futures = {}
-        while True:
-            item = load_q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            i, subject, src = item
-            # shape bucketing (opt-in): round spatial dims up to a multiple
-            # so heterogeneous volumes share ONE compiled program (each new
-            # volume shape otherwise recompiles the whole scan — minutes on
-            # remote-compile transports). Zero-pad after z-norm, crop the
-            # mask back.
-            bucket = int(getattr(config, "shape_bucket", 0) or 0)
-            orig_shape = src.shape[1:]
-            if bucket:
-                padded = tuple(-(-s // bucket) * bucket for s in orig_shape)
-                pads = [(0, 0)] + [
-                    (0, p - s) for p, s in zip(padded, orig_shape)
-                ]
-                src = np.pad(src, pads)
-            if getattr(config, "whole_volume", False):
-                import jax.numpy as jnp
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = {}
+            while True:
+                item = load_q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                i, subject, src = item
+                orig_shape = src.shape[1:]
+                if bucket:
+                    padded = tuple(-(-s // bucket) * bucket for s in orig_shape)
+                    pads = [(0, 0)] + [
+                        (0, p - s) for p, s in zip(padded, orig_shape)
+                    ]
+                    src = np.pad(src, pads)
+                if whole_volume:
+                    import math
 
-                from .ops.sliding_window import whole_volume_predict
+                    import jax.numpy as jnp
 
-                in_dtype = (
-                    jnp.bfloat16
-                    if getattr(config, "precision", "") == "bfloat16"
-                    else None
+                    from .models.registry import pad_multiple
+                    from .ops.sliding_window import whole_volume_predict
+
+                    in_dtype = (
+                        jnp.bfloat16
+                        if getattr(config, "precision", "") == "bfloat16"
+                        else None
+                    )
+                    pm = pad_multiple(config.network)
+                    pred_t = whole_volume_predict(
+                        forward, variables, src, mesh=mesh, input_dtype=in_dtype,
+                        pad_multiple=math.lcm(pm, bucket) if bucket else pm,
+                    )
+                    pred_t = pred_t[
+                        :, : orig_shape[0], : orig_shape[1], : orig_shape[2]
+                    ]
+                else:
+                    pred_t = sliding_window_predict(
+                        forward,
+                        variables,
+                        src,
+                        config.patch_size,
+                        overlap,
+                        batch_size=int(config.batch_size),
+                        overlap_mode=getattr(config, "blend", "crop") or "crop",
+                        mesh=mesh,
+                        true_spatial=orig_shape if bucket else None,
+                    )
+                futures[i] = pool.submit(
+                    _finish, i, pred_t, subject.gt.data,
+                    subject.source.affine, subject.source.spacing,
                 )
-                pred_t = whole_volume_predict(
-                    forward, variables, src, mesh=mesh, input_dtype=in_dtype
-                )
-            else:
-                pred_t = sliding_window_predict(
-                    forward,
-                    variables,
-                    src,
-                    config.patch_size,
-                    overlap,
-                    batch_size=int(config.batch_size),
-                    overlap_mode=getattr(config, "blend", "crop") or "crop",
-                    mesh=mesh,
-                )
-            if bucket:
-                pred_t = pred_t[
-                    :, : orig_shape[0], : orig_shape[1], : orig_shape[2]
-                ]
-            futures[i] = pool.submit(
-                _finish, i, pred_t, subject.gt.data,
-                subject.source.affine, subject.source.spacing,
-            )
-            progress.update(file_task, completed=i + 1)
-        for i, fut in futures.items():
-            results[i] = fut.result()
+                progress.update(file_task, completed=i + 1)
+            for i, fut in futures.items():
+                results[i] = fut.result()
+    finally:
+        stop.set()  # unblock the loader if we exited early
 
     pre_ls, rec_ls, jac_ls, dice_ls, hs95_ls = [], [], [], [], []
     for i, (precision, recall, jaccard, dice, hs95) in enumerate(results):

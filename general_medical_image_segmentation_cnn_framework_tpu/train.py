@@ -242,7 +242,11 @@ def evaluate(config, model, params, batch_stats, logger, forward=None) -> float:
         forward = make_forward_fn(config, model)
     variables = {"params": params, "batch_stats": batch_stats}
     znorm = ZNormalization()
-    whole = bool(getattr(config, "whole_volume", False))
+    from .models.registry import is_2d as _is_2d, pad_multiple
+
+    whole = bool(getattr(config, "whole_volume", False)) and not _is_2d(
+        config.network
+    )
     if whole:
         from .ops.sliding_window import whole_volume_predict
     dices = []
@@ -250,7 +254,9 @@ def evaluate(config, model, params, batch_stats, logger, forward=None) -> float:
         subject = load_subject(pair)
         src = znorm.normalize_array(subject.source.data)
         if whole:
-            pred = whole_volume_predict(forward, variables, src)
+            pred = whole_volume_predict(
+                forward, variables, src, pad_multiple=pad_multiple(config.network)
+            )
         else:
             pred = sliding_window_predict(
                 forward, variables, src, config.patch_size, overlap,

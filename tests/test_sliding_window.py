@@ -251,6 +251,26 @@ def test_sharded_inference_matches_unsharded():
     np.testing.assert_array_equal(got_m, want_m)
 
 
+def test_bucket_padded_volume_matches_unpadded():
+    """true_spatial: a bucket-padded volume must produce byte-identical
+    predictions to the unpadded one (grid + crop rules follow the true
+    extent; the padding only exists to share compiled programs)."""
+    rng = np.random.default_rng(12)
+    vol = rng.normal(size=(1, 20, 24, 27)).astype(np.float32)
+    patch, overlap = (12, 12, 12), (4, 4, 4)
+    padded = np.pad(vol, [(0, 0), (0, 12), (0, 8), (0, 5)])  # to 32^3
+    for mode in ("crop", "mean_logits"):
+        want = sliding_window_predict(
+            _position_dependent_forward, {}, vol, patch, overlap,
+            batch_size=3, overlap_mode=mode,
+        )
+        got = sliding_window_predict(
+            _position_dependent_forward, {}, padded, patch, overlap,
+            batch_size=3, overlap_mode=mode, true_spatial=(20, 24, 27),
+        )
+        np.testing.assert_array_equal(got, want)
+
+
 def test_whole_volume_predict_pointwise():
     """Single-shot whole-volume inference == direct thresholding for a
     pointwise model, including non-multiple-of-16 shapes (pad + crop)."""
