@@ -136,6 +136,29 @@ def test_eligibility():
     assert not eligible((7, 7, 7), (1, 1, 1), (1, 1, 1), 1)
 
 
+def test_patch_matmul_tree_matches_native(monkeypatch):
+    """The k==s matmul branch must create the SAME variable tree as the
+    nn.Conv fallback (checkpoints interchange across routing/env/shape)."""
+    from general_medical_image_segmentation_cnn_framework_tpu.nn.blocks import TorchConv
+
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(1, 4, 4, 4, 2)).astype(np.float32))
+    m = TorchConv(features=3, kernel_size=2, stride=2, padding=0)
+    v_matmul = m.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("GMIST_NATIVE_CONV3D", "1")
+    v_native = m.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v_matmul) == jax.tree_util.tree_structure(
+        v_native
+    )
+    # cross-load: native-branch weights through the matmul branch
+    monkeypatch.delenv("GMIST_NATIVE_CONV3D")
+    y_matmul = m.apply(v_native, x)
+    monkeypatch.setenv("GMIST_NATIVE_CONV3D", "1")
+    y_native = m.apply(v_native, x)
+    np.testing.assert_allclose(
+        np.asarray(y_matmul), np.asarray(y_native), atol=1e-5
+    )
+
+
 def test_torchconv_uses_decomp_and_matches_native(monkeypatch):
     from general_medical_image_segmentation_cnn_framework_tpu.nn.blocks import TorchConv
 
