@@ -118,6 +118,45 @@ def bench_whole_volume(network="unet", n_volumes=5, vol_shape=(256, 256, 128)):
     return 60.0 / float(np.mean(times))
 
 
+def bench_whole_volume_train(vol_shape=(256, 256, 128), n_steps=5):
+    """Whole-volume TRAINING (no patch sampling): one fwd+bwd+Adam step on
+    the full volume with block remat. Returns 128^3-patch-equivalents/s."""
+    from general_medical_image_segmentation_cnn_framework_tpu.config import ConfigDict
+    from general_medical_image_segmentation_cnn_framework_tpu.models import build_model
+    from general_medical_image_segmentation_cnn_framework_tpu.train import (
+        init_train_state,
+        make_train_step,
+    )
+
+    config = ConfigDict(
+        {
+            "network": "unet", "in_classes": 1, "out_classes": 2,
+            "patch_size": tuple(vol_shape), "init_lr": 1e-3,
+            "init_type": "kaiming", "precision": "bfloat16", "seed": 0,
+            "remat": True,
+        }
+    )
+    model = build_model(config)
+    rng = jax.random.PRNGKey(0)
+    params, stats, opt, tx = init_train_state(config, model, rng)
+    step = make_train_step(config, model, tx)
+    gen = jax.jit(lambda k: (
+        jax.random.normal(jax.random.fold_in(k, 1), (1,) + tuple(vol_shape) + (1,), jnp.float32),
+        (jax.random.uniform(jax.random.fold_in(k, 2), (1,) + tuple(vol_shape) + (1,)) > 0.5).astype(jnp.float32),
+    ))
+    x, y = gen(rng)
+    for _ in range(2):
+        params, stats, opt, loss, dice = step(params, stats, opt, x, y, rng)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        params, stats, opt, loss, dice = step(params, stats, opt, x, y, rng)
+    float(loss)
+    per_step = (time.perf_counter() - t0) / n_steps
+    patch_equiv = float(np.prod(vol_shape)) / float(128**3)
+    return patch_equiv / per_step
+
+
 def main() -> None:
     n_dev = len(jax.devices())
     vols_per_min = bench_inference()
@@ -138,6 +177,11 @@ def main() -> None:
         "vols/min",
     )
     record(f"unet3d_128_train_chips{n_dev}", lambda: bench_train("unet"), "patches/s")
+    record(
+        f"unet3d_whole_volume_train_256x256x128_chips{n_dev}",
+        bench_whole_volume_train,
+        "patch_equiv/s",
+    )
     record(f"unetr_128_train_chips{n_dev}", lambda: bench_train("unetr", n_steps=5), "patches/s")
     record(f"vtunet_128_train_chips{n_dev}", lambda: bench_train("vtnet", n_steps=5), "patches/s")
     record(

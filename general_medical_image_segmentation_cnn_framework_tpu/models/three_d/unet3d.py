@@ -29,13 +29,18 @@ class UNet3D(nn.Module):
     axis_name: Optional[str] = None
     remat: bool = False  # rematerialize blocks: trades ~30% FLOPs for
     # activation memory, unlocking larger (MXU-friendlier) batches
+    remat_policy: str = ""  # ''/'full' | 'conv' (save conv outputs) | 'dots'
     pallas: bool = False  # route lane-aligned deep blocks through the fused
     # Pallas conv+BN+ReLU kernel (config.pallas_conv)
 
     def _block(self, features: int):
         block_cls = ConvBlock
         if self.remat:
-            block_cls = nn.remat(ConvBlock, static_argnums=(2,))
+            from ...nn.blocks import remat_policy as _rp
+
+            block_cls = nn.remat(
+                ConvBlock, static_argnums=(2,), policy=_rp(self.remat_policy)
+            )
         kw = dict(
             kernel_size=3,
             padding=1,
@@ -95,5 +100,6 @@ class UNet3D(nn.Module):
             init_type=getattr(config, "init_type", "none"),
             dtype=jnp.bfloat16 if getattr(config, "precision", "") == "bfloat16" else jnp.float32,
             remat=bool(getattr(config, "remat", False)),
+            remat_policy=str(getattr(config, "remat_policy", "") or ""),
             pallas=bool(getattr(config, "pallas_conv", False)),
         )

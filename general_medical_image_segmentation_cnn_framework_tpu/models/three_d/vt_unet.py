@@ -518,7 +518,15 @@ class SwinTransformerSys3D(nn.Module):
 
         # patch embed: conv k4 s4 (+ LayerNorm) — stride==kernel runs as a
         # space-to-depth matmul (ops/conv3d.conv_patch_matmul); param names
-        # and init match nn.Conv so the variable tree is unchanged
+        # and init match nn.Conv so the variable tree is unchanged.
+        # Reference PatchEmbed3D zero-pads non-divisible inputs up to a
+        # patch_size multiple before the embed (vt_unet.py:752-759); output
+        # then lives at the padded resolution, as upstream.
+        pads = [
+            (0, (-x.shape[1 + i]) % self.patch_size[i]) for i in range(3)
+        ]
+        if any(p[1] for p in pads):
+            x = jnp.pad(x, [(0, 0)] + pads + [(0, 0)])
         y = _MatmulConv(
             features=self.embed_dim,
             kernel_size=self.patch_size,

@@ -21,16 +21,9 @@ from ...nn.norm import BatchNorm
 
 
 def _bilinear_resize_align_corners(x, size):
-    b, h, w, c = x.shape
-    oh, ow = size
-    scale_h = (oh - 1) / (h - 1) if h > 1 else 1.0
-    scale_w = (ow - 1) / (w - 1) if w > 1 else 1.0
-    return jax.image.scale_and_translate(
-        x, (b, oh, ow, c), spatial_dims=(1, 2),
-        scale=jnp.array([scale_h, scale_w]),
-        translation=jnp.array([0.0, 0.0]),
-        method="linear",
-    )
+    from ...nn.blocks import resize_linear_align_corners
+
+    return resize_linear_align_corners(x, size)
 
 
 class _Bottleneck(nn.Module):

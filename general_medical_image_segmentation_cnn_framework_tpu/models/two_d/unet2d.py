@@ -24,20 +24,9 @@ from ...nn.blocks import ConvBlock, TorchConv, max_pool
 
 def _bilinear_up2_align_corners(x):
     """torch Upsample(scale_factor=2, mode='bilinear', align_corners=True)."""
-    b, h, w, c = x.shape
-    # align_corners=True == jax.image.resize with 'linear' on an
-    # align-corners grid; implement via explicit scale/translate.
-    out_h, out_w = 2 * h, 2 * w
-    scale_h = (h - 1) / (out_h - 1) if out_h > 1 else 0.0
-    scale_w = (w - 1) / (out_w - 1) if out_w > 1 else 0.0
-    return jax.image.scale_and_translate(
-        x,
-        (b, out_h, out_w, c),
-        spatial_dims=(1, 2),
-        scale=jnp.array([1.0 / scale_h if scale_h else 1.0, 1.0 / scale_w if scale_w else 1.0]),
-        translation=jnp.array([0.0, 0.0]),
-        method="linear",
-    )
+    from ...nn.blocks import resize_linear_align_corners
+
+    return resize_linear_align_corners(x, (2 * x.shape[1], 2 * x.shape[2]))
 
 
 class UNet2D(nn.Module):

@@ -184,29 +184,53 @@ class TorchConvTranspose(nn.Module):
                 y = y + bias.astype(y.dtype)
             return y
 
-        # lax transposed conv 'VALID' output: (in-1)*s + k.  Torch crops
-        # `padding` from both ends and appends `output_padding` at the end.
-        y = nn.ConvTranspose(
-            features=self.features,
-            kernel_size=k,
-            strides=s,
-            padding="VALID",
-            use_bias=self.use_bias,
-            kernel_init=kernel_initializer(self.init_type),
-            bias_init=bias_initializer(self.init_type),
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        # General case: transposed conv as an input-dilated correlation.
+        # Torch convT(w[in,out,k..]) == correlate the s-dilated, (k-1)-padded
+        # input with the spatially-FLIPPED w — which is exactly the [k..,in,
+        # out] kernel convention the k==s matmul fast path above stores. One
+        # param layout ("kernel"/"bias" direct) and one convention for BOTH
+        # routes, so the variable tree never depends on shapes or env
+        # (the r2 param-tree invariant; the previous nn.ConvTranspose
+        # fallback nested params under ConvTranspose_0 with an unflipped
+        # kernel). 'VALID' output: (in-1)*s + k; torch then crops `padding`
+        # from both ends and appends `output_padding` at the end.
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            kernel_initializer(self.init_type),
+            k + (cin, self.features),
+            jnp.float32,
+        )
+        spatial = "DHW"[3 - n :] if n <= 3 else None
+        assert spatial is not None, f"unsupported rank {n}"
+        dn = ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C")
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1,) * n,
+            padding=[(ki - 1, ki - 1) for ki in k],
+            lhs_dilation=s,
+            dimension_numbers=dn,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", bias_initializer(self.init_type),
+                (self.features,), jnp.float32,
+            )
+            y = y + bias.astype(y.dtype)
+        # torch crop: out = VALID - 2p + op, keeping p..VALID-p+op — the op
+        # extra rows at the end are REAL values from the VALID output (only
+        # zero-padded if op > p, which torch restricts to op < stride).
         slices = [slice(None)]
         pads = [(0, 0)]
         for i in range(n):
-            hi = y.shape[1 + i] - p[i]
+            hi = min(y.shape[1 + i], y.shape[1 + i] - p[i] + op[i])
             slices.append(slice(p[i], hi))
-            pads.append((0, op[i]))
+            pads.append((0, max(0, op[i] - p[i])))
         slices.append(slice(None))
         pads.append((0, 0))
         y = y[tuple(slices)]
-        if any(o > 0 for o in op):
+        if any(pad[1] > 0 for pad in pads):
             y = jnp.pad(y, pads)
         return y
 
@@ -282,7 +306,61 @@ def resize_linear(x, scale: IntOrTuple = 2, shape: Optional[Sequence[int]] = Non
         s = _to_tuple(scale, n)
         shape = tuple(x.shape[1 + i] * s[i] for i in range(n))
     full = (x.shape[0],) + tuple(shape) + (x.shape[-1],)
-    return jax.image.resize(x, full, method="linear")
+    # antialias=False: torch interpolate does NOT lowpass when downscaling
+    # (PSPNet's 6x6 prior -> 4x4 map hits this; caught by the oracle tests)
+    return jax.image.resize(x, full, method="linear", antialias=False)
+
+
+def remat_policy(name: Optional[str]):
+    """Map config.remat_policy to a jax checkpoint policy.
+
+    ''/'full'  -> None (recompute everything inside the remat block)
+    'conv'     -> save conv outputs (checkpoint_name 'conv_out' above),
+                  recompute only the cheap norm/activation epilogue —
+                  much less recompute than full-block remat at a small
+                  memory cost
+    'dots'     -> jax.checkpoint_policies.checkpoint_dots
+    """
+    if not name or name == "full":
+        return None
+    if name == "conv":
+        return jax.checkpoint_policies.save_only_these_names("conv_out")
+    if name == "dots":
+        return jax.checkpoint_policies.checkpoint_dots
+    raise ValueError(f"unknown remat_policy {name!r}")
+
+
+def resize_linear_align_corners(x, shape: Sequence[int]):
+    """torch interpolate(mode='bi/trilinear', align_corners=True), exact.
+
+    Output index j samples the input at j*(in-1)/(out-1) per axis —
+    separable gather + lerp (jax.image's scale_and_translate uses the
+    half-pixel-center convention and does NOT reproduce align_corners;
+    caught by the direct-oracle parity tests)."""
+    n = x.ndim - 2
+    y = x
+    for i in range(n):
+        axis = 1 + i
+        out_len = int(shape[i])
+        in_len = y.shape[axis]
+        if out_len == in_len:
+            continue
+        if in_len == 1:
+            reps = [1] * y.ndim
+            reps[axis] = out_len
+            y = jnp.tile(y, reps)
+            continue
+        pos = jnp.arange(out_len, dtype=jnp.float32) * (
+            (in_len - 1) / (out_len - 1)
+        )
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, in_len - 1)
+        frac = (pos - lo.astype(jnp.float32)).astype(y.dtype)
+        bshape = [1] * y.ndim
+        bshape[axis] = out_len
+        frac = frac.reshape(bshape)
+        y = jnp.take(y, lo, axis=axis) * (1 - frac) + jnp.take(y, hi, axis=axis) * frac
+    return y
 
 
 _ACTS: dict = {
@@ -445,6 +523,11 @@ class ConvBlock(nn.Module):
             init_type=self.init_type,
             dtype=self.dtype,
         )(x)
+        # named checkpoint for selective remat (remat_policy='conv': save
+        # the conv output, recompute only the cheap norm+act in the bwd)
+        from jax.ad_checkpoint import checkpoint_name
+
+        y = checkpoint_name(y, "conv_out")
         if self.norm == "batch":
             y = BatchNorm(
                 use_running_average=not train, dtype=self.dtype, axis_name=self.axis_name

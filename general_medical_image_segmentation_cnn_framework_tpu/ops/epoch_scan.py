@@ -7,11 +7,13 @@ between steps. On dispatch-latency-bound transports this removes the
 per-step overhead entirely; on healthy links it still removes the
 host-side loop bookkeeping.
 
-Constraints: all volumes must share one spatial shape (stacked into a
-single [V, X, Y, Z, C] HBM array) and augmentation must be off (device
-backend contract). Enabled with ``config.epoch_scan=true`` (+
-``data_backend=device``); per-step loss/dice come back as arrays and are
-logged after the epoch.
+Heterogeneous volume shapes are supported: volumes are zero-padded to the
+per-dataset max extent for the stacked [V, X, Y, Z, C] HBM array, while
+patch origins are sampled from each volume's TRUE extent (identical
+sampler semantics to the queue path — a patch never reads padding).
+Augmentation must be off (device backend contract). Enabled with
+``config.epoch_scan=true`` (+ ``data_backend=device``); per-step
+loss/dice come back as arrays and are logged after the epoch.
 """
 
 from __future__ import annotations
@@ -35,14 +37,28 @@ def build_epoch_plan(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(vol_idx [steps, bs], origins [steps, bs, 3]) for one epoch,
     mirroring the queue sampler: shuffled volume order, samples_per_volume
-    uniform patches each, drop_last."""
+    uniform patches each, drop_last.
+
+    ``spatial_shape`` is either one [3] shape shared by all volumes or a
+    [n_volumes, 3] array of per-volume TRUE extents — origins are sampled
+    within each sampled volume's own extent, so heterogeneous datasets
+    keep exact uniform-sampler semantics even though storage is padded.
+    """
     vol_order = np.repeat(rng.permutation(n_volumes), samples_per_volume)
     n_steps = len(vol_order) // batch_size
     vol_order = vol_order[: n_steps * batch_size]
-    maxs = [s - p for s, p in zip(spatial_shape, patch_size)]
-    origins = np.stack(
-        [rng.integers(0, m + 1, size=len(vol_order)) for m in maxs], axis=-1
-    )
+    shapes = np.asarray(spatial_shape, dtype=np.int64)
+    if shapes.ndim == 1:
+        shapes = np.broadcast_to(shapes, (n_volumes, 3))
+    maxs = shapes - np.asarray(patch_size, dtype=np.int64)  # [V, 3]
+    if (maxs < 0).any():
+        bad = int(np.argmin(maxs.min(axis=1)))
+        raise ValueError(
+            f"volume {bad} spatial {tuple(shapes[bad])} smaller than patch "
+            f"{tuple(patch_size)}"
+        )
+    per = maxs[vol_order]  # [N, 3] inclusive upper bounds
+    origins = np.floor(rng.random((len(vol_order), 3)) * (per + 1)).astype(np.int64)
     return (
         vol_order.reshape(n_steps, batch_size).astype(np.int32),
         origins.reshape(n_steps, batch_size, 3).astype(np.int32),

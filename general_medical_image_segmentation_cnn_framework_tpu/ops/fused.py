@@ -156,13 +156,28 @@ def _pallas_wins_probe() -> bool:
     import os
     import time
 
-    dev = str(jax.devices()[0])
+    import hashlib
+    import logging
+
+    log = logging.getLogger("gmist.pallas_probe")
+    # Cache key = device + jax version + a hash of this module's source,
+    # so a jax upgrade or a kernel edit invalidates a stale verdict.
+    try:
+        with open(os.path.abspath(__file__), "rb") as f:
+            code_hash = hashlib.sha256(f.read()).hexdigest()[:16]
+    except Exception:
+        code_hash = "unknown"
+    dev = f"{jax.devices()[0]}|jax={jax.__version__}|code={code_hash}"
     cache_path = os.path.expanduser("~/.cache/gmist_xla/pallas_probe.json")
     try:
         with open(cache_path) as f:
             data = json.load(f)
         if data.get("device") == dev:
             _PROBE_CACHE = bool(data["pallas_wins"])
+            log.info(
+                "pallas fused-loss probe (cached): wins=%s t_jnp=%s t_pal=%s",
+                _PROBE_CACHE, data.get("t_jnp"), data.get("t_pal"),
+            )
             return _PROBE_CACHE
     except Exception:
         pass
@@ -219,29 +234,40 @@ t_jnp = run(False)
 t_pal = run(True)
 print(json.dumps({"t_jnp": t_jnp, "t_pal": t_pal}))
 """
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("GMIST_PALLAS_FUSED", None)
+    t_jnp = t_pal = None
     try:
-        import os as _os
-
-        repo_root = _os.path.dirname(
-            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-        )
-        env = dict(_os.environ)
-        env["PYTHONPATH"] = repo_root + _os.pathsep + env.get("PYTHONPATH", "")
-        env.pop("GMIST_PALLAS_FUSED", None)
         proc = subprocess.run(
             [sys.executable, "-c", probe_code],
             capture_output=True, text=True, timeout=300, env=env,
         )
         data = json.loads(proc.stdout.strip().splitlines()[-1])
-        wins = data["t_pal"] < data["t_jnp"] * 1.1 + 1e-3
-    except Exception:
+        t_jnp, t_pal = data["t_jnp"], data["t_pal"]
+        wins = t_pal < t_jnp * 1.1 + 1e-3
+        log.info(
+            "pallas fused-loss probe: t_jnp=%.4fs t_pal=%.4fs -> wins=%s",
+            t_jnp, t_pal, wins,
+        )
+    except Exception as exc:
         wins = False  # probe crash/hang/timeout = the pathology itself
+        log.warning(
+            "pallas fused-loss probe failed (%s: %s) -> pallas disabled; "
+            "delete %s to re-probe", type(exc).__name__, exc, cache_path,
+        )
 
     _PROBE_CACHE = wins
     try:
         os.makedirs(os.path.dirname(cache_path), exist_ok=True)
         with open(cache_path, "w") as f:
-            json.dump({"device": dev, "pallas_wins": wins}, f)
+            json.dump(
+                {"device": dev, "pallas_wins": wins,
+                 "t_jnp": t_jnp, "t_pal": t_pal}, f,
+            )
     except Exception:
         pass
     return wins

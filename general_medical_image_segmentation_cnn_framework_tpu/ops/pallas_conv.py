@@ -139,6 +139,104 @@ def fused_conv3d_bn_relu(
     )(xp, wcat.astype(x.dtype), bias.reshape(1, -1).astype(jnp.float32))
 
 
+def _conv_block_kernel_tiled(
+    x_ref, w_ref, b_ref, out_ref, scratch, sem, *,
+    th, w, cin, cout, cout_pad, wp, relu=True,
+):
+    """H-tiled, Cout-padded variant for the SHALLOW layers (Cout 32/64 at
+    large spatial). Each tap's weight block is zero-padded to 128 lanes so
+    every tap slice of the batched matmul is tile-aligned — sidestepping
+    the confirmed Mosaic hang on 32/64-lane offsets at the cost of
+    cout_pad/cout x matmul FLOPs (these layers are traffic-bound, so lane
+    waste can still win). Grid: (n, d, h_tiles)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pl.program_id(0)
+    d = pl.program_id(1)
+    ht = pl.program_id(2)
+
+    dma = pltpu.make_async_copy(
+        x_ref.at[n, pl.ds(d, 3), pl.ds(ht * th, th + 2)],
+        scratch,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    acc = jnp.zeros((th, w, cout_pad), jnp.float32)
+    for dz in range(3):
+        slab = scratch[dz]  # [th+2, Wp, Cin]
+        y_all = jnp.dot(
+            slab.reshape((th + 2) * wp, cin), w_ref[dz],
+            preferred_element_type=jnp.float32,
+        ).reshape(th + 2, wp, 9 * cout_pad)
+        for dy in range(3):
+            for dx in range(3):
+                tap = (dy * 3 + dx) * cout_pad  # 128-aligned lane offset
+                acc = acc + jax.lax.slice(
+                    y_all, (dy, dx, tap), (dy + th, dx + w, tap + cout_pad)
+                )
+    y = acc + b_ref[0]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[0, 0, 0] = y.astype(out_ref.dtype)
+
+
+def fused_conv3d_bn_relu_tiled(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    relu: bool = True,
+    tile_h: int = 8,
+) -> jnp.ndarray:
+    """Pad-Cout-to-128 + H-tiled fused conv for shallow layers.
+
+    x: [N, D, H, W, Cin]; kernel [3,3,3,Cin,Cout]; returns [N,D,H,W,128k]
+    with the true channels in [..., :Cout] (caller slices) — the padded
+    write keeps the store tile-aligned."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    cout_pad = -(-cout // 128) * 128
+    assert h % tile_h == 0, (h, tile_h)
+    wp = -(-(w + 2) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, wp - w - 1), (0, 0)))
+
+    # [3, Cin, 9*cout_pad], each tap's columns zero-padded to 128 lanes
+    wpad = jnp.pad(kernel, ((0, 0),) * 4 + ((0, cout_pad - cout),))
+    wcat = wpad.transpose(0, 3, 1, 2, 4).reshape(3, cin, 9 * cout_pad)
+
+    bias_pad = jnp.pad(bias, (0, cout_pad - cout))
+    kern = partial(
+        _conv_block_kernel_tiled, th=tile_h, w=w, cin=cin, cout=cout,
+        cout_pad=cout_pad, wp=wp, relu=relu,
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, d, h // tile_h, tile_h, w, cout_pad), x.dtype),
+        grid=(n, d, h // tile_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, tile_h, w, cout_pad),
+            lambda i, j, k: (i, j, k, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, tile_h + 2, wp, cin), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_INTERPRET,
+    )(xp, wcat.astype(x.dtype), bias_pad.reshape(1, -1).astype(jnp.float32))
+    return out.reshape(n, d, h, w, cout_pad)
+
+
 def eligible_pallas(cin: int, cout: int) -> bool:
     """Hardware-path constraints of the fused kernel (lane-aligned channels,
     the deep-layer regime). Interpret mode (tests) lifts them."""

@@ -341,7 +341,16 @@ def sliding_window_predict(
 
         n_data = mesh.shape["data"]
         if batch_size % n_data:
-            batch_size = n_data * max(1, batch_size // n_data)
+            # round UP to the next multiple of the data axis (padding already
+            # handles surplus tiles) so sharding never shrinks the tile batch
+            new_bs = n_data * -(-batch_size // n_data)
+            import logging
+
+            logging.getLogger("gmist.sliding_window").info(
+                "batch_size %d not divisible by data axis %d; using %d",
+                batch_size, n_data, new_bs,
+            )
+            batch_size = new_bs
         vol_dev = jax.device_put(vol_dev, NamedSharding(mesh, P()))
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
 

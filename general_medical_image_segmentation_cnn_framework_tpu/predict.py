@@ -153,6 +153,16 @@ def predict(model=None, config=None, logger=None):
     load_q: queue_mod.Queue = queue_mod.Queue(maxsize=2)
     stop = threading.Event()
 
+    def _put(item):
+        # stop-aware put: never block forever if the consumer already exited
+        # (stop.set() in the outer finally) while the queue is full.
+        while not stop.is_set():
+            try:
+                load_q.put(item, timeout=0.5)
+                return
+            except queue_mod.Full:
+                continue
+
     def _loader():
         try:
             for i, pair in enumerate(pairs):
@@ -160,16 +170,11 @@ def predict(model=None, config=None, logger=None):
                     return
                 subject = load_subject(pair)
                 src = znorm.normalize_array(subject.source.data)
-                while not stop.is_set():
-                    try:
-                        load_q.put((i, subject, src), timeout=0.5)
-                        break
-                    except queue_mod.Full:
-                        continue
+                _put((i, subject, src))
         except BaseException as exc:
-            load_q.put(exc)
+            _put(exc)
         finally:
-            load_q.put(None)
+            _put(None)
 
     threading.Thread(target=_loader, daemon=True).start()
 
@@ -186,6 +191,12 @@ def predict(model=None, config=None, logger=None):
     # shape otherwise recompiles the whole scan — minutes on remote-compile
     # transports). The tile grid / crop rules follow the TRUE extent, so
     # bucketed sliding-window predictions are byte-identical to unbucketed.
+    # NOTE whole_volume + bucket is NOT byte-identical to unbucketed
+    # whole-volume: the whole volume is padded to lcm(pad_multiple, bucket)
+    # BEFORE the single forward, so voxels near the true border see extra
+    # zero-pad context inside their receptive field (vs padding only to
+    # pad_multiple). Both are valid conv paddings of the same volume —
+    # pinned by tests/test_whole_volume_bucket.py.
     bucket = int(getattr(config, "shape_bucket", 0) or 0)
 
     results = [None] * len(pairs)

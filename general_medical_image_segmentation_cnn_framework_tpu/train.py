@@ -343,12 +343,20 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
         assert int(config.out_classes) == 2 and (
             getattr(config, "loss", "bce") or "bce"
         ) == "bce", "epoch_scan supports the binary BCE criterion"
-        shapes = {v[0].shape for v in dataset.volumes}
-        assert len(shapes) == 1, (
-            f"epoch_scan requires uniform volume shapes, got {shapes}"
-        )
-        volumes_dev = jnp.stack([v[0] for v in dataset.volumes])
-        labels_dev = jnp.stack([v[1] for v in dataset.volumes])
+        # heterogeneous shapes: zero-pad storage to the max extent; the
+        # epoch plan samples origins from each volume's TRUE extent so the
+        # uniform patch sampler never reads padding (epoch_scan.py)
+        true_shapes = np.asarray([v[0].shape[:3] for v in dataset.volumes])
+        max_shape = tuple(int(s) for s in true_shapes.max(axis=0))
+
+        def _pad_to_max(a):
+            pads = [(0, m - s) for m, s in zip(max_shape, a.shape[:3])]
+            if any(p[1] for p in pads):
+                a = jnp.pad(a, pads + [(0, 0)])
+            return a
+
+        volumes_dev = jnp.stack([_pad_to_max(v[0]) for v in dataset.volumes])
+        labels_dev = jnp.stack([_pad_to_max(v[1]) for v in dataset.volumes])
         forward = make_forward(config, model)
 
         def loss_and_metric(pred, gt):
@@ -357,7 +365,7 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
 
         epoch_fn = make_epoch_scan(config, model, tx, forward, loss_and_metric)
         plan_rng = np.random.default_rng(int(getattr(config, "seed", 0) or 0))
-        spatial_shape = dataset.volumes[0][0].shape[:3]
+        spatial_shape = true_shapes  # per-volume true extents
 
     profile_dir = getattr(config, "profile_dir", None)
     if profile_dir:

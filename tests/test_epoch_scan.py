@@ -36,3 +36,59 @@ def test_epoch_scan_requires_device_backend(tiny_config):
     tiny_config.epoch_scan = True  # threaded backend -> assertion
     with pytest.raises(AssertionError):
         train(tiny_config)
+
+
+def test_epoch_plan_heterogeneous_shapes():
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.epoch_scan import (
+        build_epoch_plan,
+    )
+
+    rng = np.random.default_rng(1)
+    shapes = np.asarray([(32, 32, 32), (24, 40, 20), (16, 16, 48)])
+    vol_idx, origins = build_epoch_plan(3, 50, 2, shapes, (16, 16, 16), rng)
+    # every origin within ITS volume's true extent (never in padding)
+    maxs = shapes - 16
+    for step in range(vol_idx.shape[0]):
+        for b in range(vol_idx.shape[1]):
+            v = vol_idx[step, b]
+            assert (origins[step, b] >= 0).all()
+            assert (origins[step, b] <= maxs[v]).all(), (v, origins[step, b])
+    # sampling actually spans the extent (not pinned at 0)
+    assert origins.max() > 0
+
+
+def test_epoch_plan_rejects_too_small_volume():
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.epoch_scan import (
+        build_epoch_plan,
+    )
+
+    rng = np.random.default_rng(2)
+    shapes = np.asarray([(32, 32, 32), (12, 32, 32)])
+    with pytest.raises(ValueError, match="smaller than patch"):
+        build_epoch_plan(2, 4, 2, shapes, (16, 16, 16), rng)
+
+
+def test_train_with_epoch_scan_heterogeneous(tiny_config, tmp_path):
+    """End-to-end epoch_scan over volumes of DIFFERENT shapes (the r2
+    restriction, now lifted via pad-to-max storage + true-extent plans)."""
+    from general_medical_image_segmentation_cnn_framework_tpu.data.io import (
+        Volume, write_nifti,
+    )
+    from general_medical_image_segmentation_cnn_framework_tpu.train import train
+
+    rng = np.random.default_rng(9)
+    for i, shape in enumerate([(32, 32, 32), (24, 40, 20), (20, 24, 28)]):
+        (tmp_path / "source").mkdir(exist_ok=True)
+        (tmp_path / "label").mkdir(exist_ok=True)
+        img = rng.normal(size=(1,) + shape).astype(np.float32)
+        lab = (img > 0.5).astype(np.float32)
+        write_nifti(tmp_path / "source" / f"v{i}.nii.gz", Volume(img))
+        write_nifti(tmp_path / "label" / f"v{i}.nii.gz", Volume(lab))
+
+    tiny_config.data_path = str(tmp_path / "source")
+    tiny_config.gt_path = str(tmp_path / "label")
+    tiny_config.data_backend = "device"
+    tiny_config.epoch_scan = True
+    tiny_config.epochs = 1
+    result = train(tiny_config)
+    assert np.isfinite(result["loss"])

@@ -75,3 +75,104 @@ def test_fsdp_train_step_matches_replicated(tiny_config):
     assert abs(d0 - d1) < 1e-5
     for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
         np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_fsdp_trajectory_matches_replicated(tiny_config):
+    """N steps under FSDP sharding must reproduce the replicated loss AND
+    parameter trajectory (not just one step): a wrong spec that silently
+    gathers garbage would drift within a couple of steps."""
+    tiny_config.batch_size = 8
+    model = build_model(tiny_config)
+    rng = jax.random.PRNGKey(0)
+    mesh = make_mesh("data=-1")
+
+    rng_np = np.random.default_rng(7)
+    batches = [
+        (
+            rng_np.normal(size=(8, 16, 16, 16, 1)).astype(np.float32),
+            (rng_np.uniform(size=(8, 16, 16, 16, 1)) > 0.5).astype(np.float32),
+        )
+        for _ in range(4)
+    ]
+
+    trajs = []
+    for fsdp in (False, True):
+        params, stats, opt, tx = init_train_state(tiny_config, model, rng)
+        step = make_train_step(tiny_config, model, tx)
+        if fsdp:
+            params = shard_params_fsdp(params, mesh)
+            opt = shard_params_fsdp(opt, mesh)
+            stats = replicate(mesh, stats)
+        else:
+            params = replicate(mesh, params)
+            stats = replicate(mesh, stats)
+            opt = replicate(mesh, opt)
+        losses = []
+        for x, y in batches:
+            batch = shard_batch(mesh, {"x": x, "y": y})
+            params, stats, opt, loss, _ = step(
+                params, stats, opt, batch["x"], batch["y"], rng
+            )
+            losses.append(float(loss))
+        trajs.append((losses, jax.device_get(params)))
+
+    (l0, p0), (l1, p1) = trajs
+    # sharded vs unsharded compilations reduce in different orders; fp32
+    # drift accumulates ~1e-5/step (single-step equality is tested above)
+    np.testing.assert_allclose(l0, l1, rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_2d_mesh_trajectory_matches_replicated(tiny_config):
+    """The data x model 2-D mesh (batch over 'data', weights over 'model',
+    as in __graft_entry__.dryrun_multichip) must reproduce the replicated
+    trajectory numerically over N steps."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tiny_config.batch_size = 4
+    model = build_model(tiny_config)
+    rng = jax.random.PRNGKey(0)
+    mesh2 = make_mesh("data=4,model=2")
+
+    rng_np = np.random.default_rng(8)
+    batches = [
+        (
+            rng_np.normal(size=(4, 16, 16, 16, 1)).astype(np.float32),
+            (rng_np.uniform(size=(4, 16, 16, 16, 1)) > 0.5).astype(np.float32),
+        )
+        for _ in range(3)
+    ]
+
+    trajs = []
+    for use_mesh in (False, True):
+        params, stats, opt, tx = init_train_state(tiny_config, model, rng)
+        step = make_train_step(tiny_config, model, tx)
+        if use_mesh:
+            params = shard_params_fsdp(params, mesh2, axis="model")
+            opt = shard_params_fsdp(opt, mesh2, axis="model")
+            stats = jax.device_put(stats, NamedSharding(mesh2, P()))
+        losses = []
+        for x, y in batches:
+            if use_mesh:
+                xb = jax.device_put(
+                    x, NamedSharding(mesh2, P("data", None, None, None, None))
+                )
+                yb = jax.device_put(
+                    y, NamedSharding(mesh2, P("data", None, None, None, None))
+                )
+            else:
+                xb, yb = jnp.asarray(x), jnp.asarray(y)
+            params, stats, opt, loss, _ = step(params, stats, opt, xb, yb, rng)
+            losses.append(float(loss))
+        trajs.append((losses, jax.device_get(params)))
+
+    (l0, p0), (l1, p1) = trajs
+    # sharded vs unsharded compilations reduce in different orders; fp32
+    # drift accumulates ~1e-5/step (single-step equality is tested above)
+    np.testing.assert_allclose(l0, l1, rtol=1e-4, atol=1e-5)
+    # param tolerance looser than the DP test: model-axis reduce-scatter
+    # reorders Adam's near-zero-gradient denominators; drift is bounded by
+    # ~lr/step (losses above pin the numerics at 1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(a, b, atol=2e-2)

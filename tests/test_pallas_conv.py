@@ -115,3 +115,84 @@ def test_convblock_pallas_train_parity():
         jax.tree_util.tree_leaves(upd_p), jax.tree_util.tree_leaves(upd_f)
     ):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_convblock_training_trajectory():
+    """Few-step Adam trajectory through the pallas ConvBlock (custom VJP)
+    must track the XLA path: same losses, same final params. Keeps the
+    kernel's GRADIENT honest in CI without TPU hardware (interpret mode)."""
+    import optax
+    from flax import linen as nn
+
+    class _Net(nn.Module):
+        pallas: bool
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            from general_medical_image_segmentation_cnn_framework_tpu.nn.blocks import (
+                ConvBlock, TorchConv,
+            )
+
+            y = ConvBlock(features=4, kernel_size=3, stride=1, padding=1,
+                          norm="batch", act="relu", pallas=self.pallas)(x, train)
+            return TorchConv(features=2, kernel_size=1)(y)
+
+    rng = np.random.default_rng(5)
+    x_all = [rng.normal(size=(2, 4, 6, 8, 3)).astype(np.float32) for _ in range(4)]
+    y_all = [(rng.uniform(size=(2, 4, 6, 8, 1)) > 0.5).astype(np.float32)
+             for _ in range(4)]
+
+    trajs = []
+    for flag in (False, True):
+        net = _Net(pallas=flag)
+        variables = net.init(jax.random.PRNGKey(0), jnp.asarray(x_all[0]), train=False)
+        params, stats = variables["params"], variables["batch_stats"]
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+
+        def loss_fn(p, s, xb, yb):
+            out, upd = net.apply(
+                {"params": p, "batch_stats": s}, xb, train=True,
+                mutable=["batch_stats"],
+            )
+            gt2 = jnp.concatenate([1 - yb, yb], axis=-1)
+            loss = jnp.mean(
+                jnp.maximum(out, 0) - out * gt2 + jnp.log1p(jnp.exp(-jnp.abs(out)))
+            )
+            return loss, upd["batch_stats"]
+
+        losses = []
+        for xb, yb in zip(x_all, y_all):
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, stats, jnp.asarray(xb), jnp.asarray(yb)
+            )
+            updates, opt = tx.update(grads, opt, params)
+            params = optax.apply_updates(params, updates)
+            losses.append(float(loss))
+        trajs.append((losses, jax.device_get(params)))
+
+    (l0, p0), (l1, p1) = trajs
+    np.testing.assert_allclose(l0, l1, rtol=1e-4, atol=1e-5)
+    # Adam normalizes by sqrt(v): near-zero-gradient leaves amplify
+    # fp32-level summation-order differences up to ~lr per step, so param
+    # tolerance is looser than the per-step gradient parity test's 1e-4
+    # (test_pallas_conv3d_custom_vjp_matches_xla pins the VJP itself).
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_tiled_padded_cout_kernel_matches_reference():
+    """Pad-Cout-to-128 H-tiled kernel (shallow-layer layout): parity incl.
+    non-multiple W and the channel zero-padding."""
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(1, 6, 16, 12, 3)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 5)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(5,)).astype(np.float32))
+    got = pallas_conv.fused_conv3d_bn_relu_tiled(x, k, b, tile_h=8)
+    assert got.shape == (1, 6, 16, 12, 128)
+    want = pallas_conv.reference_conv3d_bn_relu(x, k, b)
+    np.testing.assert_allclose(
+        np.asarray(got[..., :5]), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+    # padded channels are exactly relu(0 + 0) == 0
+    np.testing.assert_array_equal(np.asarray(got[..., 5:]), 0.0)

@@ -114,3 +114,23 @@ def test_registry_complete():
     expected = {c[0] for c in CASES_3D} | {c[0] for c in CASES_2D} | {"IS", "vtnet"}
     missing = expected - names
     assert not missing, f"registry missing: {missing}"
+
+
+def test_vtnet_non_divisible_input_pads_like_reference():
+    """Advisor r2 (medium): the matmul patch embed must accept spatial dims
+    not divisible by patch_size (4). The reference PatchEmbed3D zero-pads
+    up to a multiple first (reference vt_unet.py:752-759) and the output
+    lives at the padded resolution. (Odd token counts — e.g. spatial 27 ->
+    7 tokens — remain unsupported in BOTH frameworks: the reference's
+    decoder torch.cat hits the same merge/expand parity mismatch.)"""
+    model = _build_small(
+        "vtnet", {"embed_dim": 12, "win_size": 4, "img_size": (32, 32, 32)}
+    )
+    x = jnp.zeros((1, 30, 29, 32, 1), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=False,
+    )
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (1, 32, 32, 32, 2), y.shape
+    assert np.isfinite(np.asarray(y)).all()
