@@ -118,9 +118,11 @@ def bench_whole_volume(network="unet", n_volumes=5, vol_shape=(256, 256, 128)):
     return 60.0 / float(np.mean(times))
 
 
-def bench_whole_volume_train(vol_shape=(256, 256, 128), n_steps=5):
+def bench_whole_volume_train(vol_shape=(256, 256, 128), n_steps=5, remat=False):
     """Whole-volume TRAINING (no patch sampling): one fwd+bwd+Adam step on
-    the full volume with block remat. Returns 128^3-patch-equivalents/s."""
+    the full volume. Returns 128^3-patch-equivalents/s. remat=False fits
+    v5e HBM at this size (measured 305.8 vs 318.0 ms with remat_policy=conv
+    vs 359.6 full remat); the caller retries with selective remat on OOM."""
     from general_medical_image_segmentation_cnn_framework_tpu.config import ConfigDict
     from general_medical_image_segmentation_cnn_framework_tpu.models import build_model
     from general_medical_image_segmentation_cnn_framework_tpu.train import (
@@ -133,7 +135,7 @@ def bench_whole_volume_train(vol_shape=(256, 256, 128), n_steps=5):
             "network": "unet", "in_classes": 1, "out_classes": 2,
             "patch_size": tuple(vol_shape), "init_lr": 1e-3,
             "init_type": "kaiming", "precision": "bfloat16", "seed": 0,
-            "remat": True,
+            "remat": remat, "remat_policy": "conv" if remat else "",
         }
     )
     model = build_model(config)

@@ -33,7 +33,7 @@ class UNet3D(nn.Module):
     pallas: bool = False  # route lane-aligned deep blocks through the fused
     # Pallas conv+BN+ReLU kernel (config.pallas_conv)
 
-    def _block(self, features: int):
+    def _block(self, features: int, counter):
         block_cls = ConvBlock
         if self.remat:
             from ...nn.blocks import remat_policy as _rp
@@ -53,8 +53,17 @@ class UNet3D(nn.Module):
         )
 
         def block(x, train):
-            x = block_cls(features=features, **kw)(x, train)
-            x = block_cls(features=features, **kw)(x, train)
+            # explicit names: nn.remat's wrapper class is auto-named
+            # "CheckpointConvBlock_i", which would make remat=true
+            # checkpoints unloadable by a remat=false model (found by the
+            # whole-volume train->predict run). The tree must not depend
+            # on the remat flag.
+            x = block_cls(
+                features=features, **kw, name=f"ConvBlock_{next(counter)}"
+            )(x, train)
+            x = block_cls(
+                features=features, **kw, name=f"ConvBlock_{next(counter)}"
+            )(x, train)
             return x
 
         return block
@@ -62,25 +71,26 @@ class UNet3D(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         f = self.init_features
+        counter = iter(range(18))
         up = lambda feats: TorchConvTranspose(
             features=feats, kernel_size=2, stride=2, init_type=self.init_type, dtype=self.dtype
         )
 
-        enc1 = self._block(f)(x, train)
-        enc2 = self._block(f * 2)(max_pool(enc1, 2), train)
-        enc3 = self._block(f * 4)(max_pool(enc2, 2), train)
-        enc4 = self._block(f * 8)(max_pool(enc3, 2), train)
+        enc1 = self._block(f, counter)(x, train)
+        enc2 = self._block(f * 2, counter)(max_pool(enc1, 2), train)
+        enc3 = self._block(f * 4, counter)(max_pool(enc2, 2), train)
+        enc4 = self._block(f * 8, counter)(max_pool(enc3, 2), train)
 
-        bottleneck = self._block(f * 16)(max_pool(enc4, 2), train)
+        bottleneck = self._block(f * 16, counter)(max_pool(enc4, 2), train)
 
         dec4 = up(f * 8)(bottleneck)
-        dec4 = self._block(f * 8)(jnp.concatenate([dec4, enc4], axis=-1), train)
+        dec4 = self._block(f * 8, counter)(jnp.concatenate([dec4, enc4], axis=-1), train)
         dec3 = up(f * 4)(dec4)
-        dec3 = self._block(f * 4)(jnp.concatenate([dec3, enc3], axis=-1), train)
+        dec3 = self._block(f * 4, counter)(jnp.concatenate([dec3, enc3], axis=-1), train)
         dec2 = up(f * 2)(dec3)
-        dec2 = self._block(f * 2)(jnp.concatenate([dec2, enc2], axis=-1), train)
+        dec2 = self._block(f * 2, counter)(jnp.concatenate([dec2, enc2], axis=-1), train)
         dec1 = up(f)(dec2)
-        dec1 = self._block(f)(jnp.concatenate([dec1, enc1], axis=-1), train)
+        dec1 = self._block(f, counter)(jnp.concatenate([dec1, enc1], axis=-1), train)
 
         return nn.Conv(
             features=self.out_channels,

@@ -69,6 +69,17 @@ def profile_unetr(patch, reps):
     )
     print(f"1 transformer block fwd+bwd: {t_block*1e3:6.2f} ms  (x12 = {12*t_block*1e3:6.1f} ms)")
 
+    # 12 identical blocks in ONE program: separates per-program dispatch
+    # overhead (tunnel floor ~3 ms) from true per-block device time
+    def twelve(p, t):
+        for _ in range(12):
+            t = block.apply({"params": p}, t, train=False)
+        return t
+
+    t_twelve = timeit(fwdbwd(twelve), (bv["params"], tok), reps)
+    print(f"12 blocks, ONE program:      {t_twelve*1e3:6.2f} ms "
+          f"({t_twelve/12*1e3:5.2f} ms/block true)")
+
     # full model phases
     model = UNETR(img_shape=(patch,) * 3, input_dim=1, output_dim=2,
                   embed_dim=embed_dim, num_heads=heads, dtype=dtype)
@@ -86,11 +97,21 @@ def profile_unetr(patch, reps):
         )[0]),
         (variables["params"], x), reps,
     )
-    print(f"full UNETR fwd+bwd:          {t_full*1e3:6.2f} ms")
-    print(f"  -> encoder (12 blocks):    {12*t_block*1e3:6.1f} ms "
-          f"({12*t_block/t_full*100:4.1f}%)")
-    print(f"  -> embed+decoder+overhead: {(t_full-12*t_block)*1e3:6.1f} ms "
-          f"({(1-12*t_block/t_full)*100:4.1f}%)")
+    t_eval = timeit(
+        fwdbwd(lambda p, xx: model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]}, xx,
+            train=False,
+        )),
+        (variables["params"], x), reps,
+    )
+    enc = 12 * t_twelve / 12
+    print(f"full UNETR fwd+bwd (train):  {t_full*1e3:6.2f} ms")
+    print(f"full UNETR fwd+bwd (eval):   {t_eval*1e3:6.2f} ms  "
+          f"(dropout/threefry cost = {(t_full-t_eval)*1e3:5.1f} ms)")
+    print(f"  -> encoder (12 blocks):    {t_twelve*1e3:6.1f} ms "
+          f"({t_twelve/t_full*100:4.1f}%)")
+    print(f"  -> embed+decoder+overhead: {(t_full-t_twelve)*1e3:6.1f} ms "
+          f"({(1-t_twelve/t_full)*100:4.1f}%)")
 
 
 def profile_vtunet(patch, reps):

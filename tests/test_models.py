@@ -127,3 +127,26 @@ def test_build_model_from_config(tiny_config):
     model = build_model(tiny_config)
     assert isinstance(model, UNet3D)
     assert model.out_channels == 2
+
+
+def test_remat_does_not_change_param_tree():
+    """remat=true / remat_policy must produce the SAME variable tree as
+    remat=false — nn.remat's wrapper class would otherwise auto-name
+    scopes 'CheckpointConvBlock_i' and make training checkpoints
+    unloadable at predict time (found by the whole-volume run, r3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from general_medical_image_segmentation_cnn_framework_tpu.models.three_d.unet3d import (
+        UNet3D,
+    )
+
+    trees = []
+    for remat, policy in ((False, ""), (True, ""), (True, "conv"), (True, "dots")):
+        m = UNet3D(init_features=4, remat=remat, remat_policy=policy)
+        v = jax.eval_shape(
+            lambda k: m.init(k, jnp.zeros((1, 16, 16, 16, 1)), train=False),
+            jax.random.PRNGKey(0),
+        )
+        trees.append(jax.tree_util.tree_structure(v))
+    assert all(t == trees[0] for t in trees[1:]), "param tree depends on remat"

@@ -8,12 +8,16 @@ state into the Flax zoo, and assert fp32 logits parity. A misread
 architecture quirk cannot pass here: the oracle is upstream's executable
 source itself.
 
-Covered (every reference model that imports with plain torch — 17 files):
+Covered — 21 direct oracles, every reference model except vt_unet:
 3-D: unet3d, csrnet, IS, densevoxelnet3d, densenet3d, highresnet, vnet3d,
-residual_unet3d, ER_net, RE_net, unetr, fcn3d
-2-D: unet, segnet, deeplab, pspnet, miniseg
-(torchvision-blocked: Double_Unet, FusionNet, unetpp, fcn; mmcv-blocked:
-vt_unet — those keep their mirror/block-level tests.)
+residual_unet3d, ER_net, RE_net, unetr (whole model), fcn3d, Double_Unet,
+FusionNet (the last two via import stubs for their unused
+torchvision/thop imports)
+2-D: unet, segnet, deeplab, pspnet, miniseg, fcn (FCN32s, `fcn`-package
+import stubbed), unetpp (reference decoder vs a faithful public-resnet34
+encoder stub)
+mmcv-blocked: vt_unet keeps its block-level mirror tests
+(test_torch_parity_zoo.py) — its module cannot import without mmcv.
 """
 
 import importlib
@@ -1163,3 +1167,326 @@ def test_miniseg_oracle():
 
     y = model.apply(variables, jnp.asarray(to_channels_last(x)), train=False)
     assert_close(y, run_torch(tm, x), atol=5e-4, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# torchvision/thop/fcn-blocked reference files: the imports are either
+# unused (Double_Unet/FusionNet/fcn's FCN32s bodies are self-contained) or
+# trivial, so minimal import stubs unlock three more DIRECT oracles.
+# ---------------------------------------------------------------------------
+
+
+def _install_import_stubs():
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        models_m = types.ModuleType("torchvision.models")
+        vgg_m = types.ModuleType("torchvision.models.vgg")
+
+        class VGG(torch.nn.Module):  # referenced by two_d/fcn.py import only
+            pass
+
+        vgg_m.VGG = VGG
+        models_m.vgg = vgg_m
+        tv.models = models_m
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = models_m
+        sys.modules["torchvision.models.vgg"] = vgg_m
+    if "thop" not in sys.modules:  # Double_Unet: `from thop import profile`
+        thop = types.ModuleType("thop")
+        thop.profile = lambda *a, **k: (0, 0)
+        sys.modules["thop"] = thop
+    if "fcn" not in sys.modules:  # two_d/fcn.py: `import fcn` (unused)
+        sys.modules["fcn"] = types.ModuleType("fcn")
+
+
+def _put_unet_block(params, stats, cb_name, tblock, nm):
+    """One reference `_block` (conv-BN-ReLU x2) into two flax ConvBlocks."""
+    for j, cb in zip((1, 2), cb_name):
+        set_conv(params[cb], "TorchConv_0", getattr(tblock, f"{nm}conv{j}"))
+        set_norm(params[cb], stats[cb], "BatchNorm_0", getattr(tblock, f"{nm}norm{j}"))
+
+
+def test_double_unet_oracle():
+    _install_import_stubs()
+    mod = ref_module("three_d.Double_Unet")
+    tm = randomize(mod.Double_Unet(in_channels=1, out_channels=2,
+                                   unet_init_features=32))
+
+    from general_medical_image_segmentation_cnn_framework_tpu.models.three_d.double_unet import (
+        DoubleUNet,
+    )
+
+    model = DoubleUNet(in_channels=1, out_channels=2, unet_init_features=32)
+    x = np.random.default_rng(20).normal(size=(1, 1, 16, 16, 16)).astype(np.float32)
+    variables = unfreeze(
+        model.init(jax.random.PRNGKey(0), jnp.asarray(to_channels_last(x)), train=False)
+    )
+
+    for scope_name, pfx in (("_UNet3Level_0", "cu"), ("_UNet3Level_1", "fu")):
+        p = variables["params"][scope_name]
+        s = variables["batch_stats"][scope_name]
+        blocks = [("enc1", 0), ("enc2", 2), ("enc3", 4), ("bottleneck", 6),
+                  ("dec3", 8), ("dec2", 10), ("dec1", 12)]
+        for nm, i in blocks:
+            tb = getattr(tm, f"{pfx}_{'encoder' + nm[-1] if nm.startswith('enc') else ('bottleneck' if nm == 'bottleneck' else 'decoder' + nm[-1])}")
+            _put_unet_block(p, s, (f"ConvBlock_{i}", f"ConvBlock_{i+1}"), tb,
+                            f"{pfx}_{nm}")
+        for k, idx in enumerate((3, 2, 1)):
+            set_convT(p, f"TorchConvTranspose_{k}", getattr(tm, f"{pfx}_upconv{idx}"))
+        set_conv(p, "TorchConv_0", getattr(tm, f"{pfx}_conv"))
+        if pfx == "fu":
+            for k, se in enumerate([tm.SE3, tm.SE2, tm.SE1]):
+                sp = p[f"SEResidual_{k}"]
+                for j, lin in ((0, se.fc[0]), (1, se.fc[2])):
+                    for kk, v in f_linear(lin).items():
+                        sp[f"Dense_{j}"][kk] = jnp.asarray(v)
+
+    y = model.apply(variables, jnp.asarray(to_channels_last(x)), train=False)
+    assert_close(y, run_torch(tm, x), atol=5e-4, rtol=2e-3)
+
+
+def _put_ref_unet3d(params, stats, tm):
+    """Reference-UNet3D-shaped module (encoder1..4/bottleneck/upconv4..1/
+    decoder4..1/conv attrs) -> flax UNet3D scope."""
+    blocks = [tm.encoder1, tm.encoder2, tm.encoder3, tm.encoder4, tm.bottleneck,
+              tm.decoder4, tm.decoder3, tm.decoder2, tm.decoder1]
+    names = ["enc1", "enc2", "enc3", "enc4", "bottleneck",
+             "dec4", "dec3", "dec2", "dec1"]
+    i = 0
+    for blk, nm in zip(blocks, names):
+        for j in (1, 2):
+            set_conv(params[f"ConvBlock_{i}"], "TorchConv_0", getattr(blk, f"{nm}conv{j}"))
+            set_norm(params[f"ConvBlock_{i}"], stats[f"ConvBlock_{i}"],
+                     "BatchNorm_0", getattr(blk, f"{nm}norm{j}"))
+            i += 1
+    for k, up in enumerate([tm.upconv4, tm.upconv3, tm.upconv2, tm.upconv1]):
+        set_convT(params, f"TorchConvTranspose_{k}", up)
+    set_conv(params, "Conv_0", tm.conv)
+
+
+def _put_ref_vnet(params, stats, tm, elu):
+    """Reference-VNet-shaped module (in_tr/down_tr*/up_tr*/out_tr attrs) ->
+    flax VNet scope. With elu=True there are no PReLU params."""
+
+    def prelu(scope_params, name, tact):
+        if not elu:
+            scope_params[name]["PReLU_0"]["alpha"] = jnp.asarray(
+                np.atleast_1d(f_prelu(tact))
+            )
+
+    set_conv(params, "TorchConv_0", tm.in_tr.conv1)
+    set_norm(params, stats, "BatchNorm_0", tm.in_tr.bn1)
+    prelu(params, "_Act_0", tm.in_tr.relu1)
+    act_i, bn_i = 1, 1
+    downs = [(tm.down_tr32, 1), (tm.down_tr64, 2), (tm.down_tr128, 3), (tm.down_tr256, 2)]
+    for ti, (m, n_convs) in enumerate(downs):
+        set_conv(params, f"TorchConv_{ti + 1}", m.down_conv)
+        set_norm(params, stats, f"BatchNorm_{bn_i}", m.bn1)
+        bn_i += 1
+        prelu(params, f"_Act_{act_i}", m.relu1)
+        act_i += 1
+        for j in range(n_convs):
+            lu = m.ops[j]
+            nc = params[f"_NConvs_{ti}"][f"_LUConv_{j}"]
+            ns = stats[f"_NConvs_{ti}"][f"_LUConv_{j}"]
+            set_conv(nc, "TorchConv_0", lu.conv1)
+            set_norm(nc, ns, "BatchNorm_0", lu.bn1)
+            prelu(nc, "_Act_0", lu.relu1)
+        prelu(params, f"_Act_{act_i}", m.relu2)
+        act_i += 1
+    ups = [(tm.up_tr256, 2), (tm.up_tr128, 2), (tm.up_tr64, 1), (tm.up_tr32, 1)]
+    for ti, (m, n_convs) in enumerate(ups):
+        set_convT(params, f"TorchConvTranspose_{ti}", m.up_conv)
+        set_norm(params, stats, f"BatchNorm_{bn_i}", m.bn1)
+        bn_i += 1
+        prelu(params, f"_Act_{act_i}", m.relu1)
+        act_i += 1
+        for j in range(n_convs):
+            lu = m.ops[j]
+            nc = params[f"_NConvs_{ti + 4}"][f"_LUConv_{j}"]
+            ns = stats[f"_NConvs_{ti + 4}"][f"_LUConv_{j}"]
+            set_conv(nc, "TorchConv_0", lu.conv1)
+            set_norm(nc, ns, "BatchNorm_0", lu.bn1)
+            prelu(nc, "_Act_0", lu.relu1)
+        prelu(params, f"_Act_{act_i}", m.relu2)
+        act_i += 1
+    set_conv(params, "TorchConv_5", tm.out_tr.conv1)
+    set_norm(params, stats, f"BatchNorm_{bn_i}", tm.out_tr.bn1)
+    prelu(params, f"_Act_{act_i}", tm.out_tr.relu1)
+    set_conv(params, "TorchConv_6", tm.out_tr.conv2)
+
+
+def test_fusionnet_oracle():
+    """FusionNet only RUNS upstream when out_channels == in_channels (its
+    fusion stem is sized in_channels*2, FusionNet.py:130 vs :222), so the
+    oracle uses in=out=1 — the one configuration both frameworks share."""
+    _install_import_stubs()
+    mod = ref_module("three_d.FusionNet")
+    tm = randomize(mod.FusionNet(in_channels=1, out_channels=1,
+                                 unet_init_features=4, Cnn_init_features=4))
+
+    from general_medical_image_segmentation_cnn_framework_tpu.models.three_d.fusionnet import (
+        FusionNet,
+    )
+
+    model = FusionNet(in_channels=1, out_channels=1, unet_init_features=4,
+                      cnn_init_features=4)
+    x = np.random.default_rng(21).normal(size=(1, 1, 16, 16, 16)).astype(np.float32)
+    variables = unfreeze(
+        model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.asarray(to_channels_last(x)), train=False,
+        )
+    )
+    params, stats = variables["params"], variables["batch_stats"]
+
+    _put_ref_unet3d(params["UNet3D_0"], stats["UNet3D_0"], tm)
+    _put_ref_vnet(params["VNet_0"], stats["VNet_0"], tm, elu=True)
+    # fusion head: conv1 (_block_CNN) -> pool -> conv2 -> upsample1 -> out_conv
+    for i, tb in enumerate([tm.conv1, tm.conv2]):
+        cb, sb = params[f"ConvBlock_{i}"], stats[f"ConvBlock_{i}"]
+        set_conv(cb, "TorchConv_0", getattr(tb, f"conv{i + 1}conv1"))
+        set_norm(cb, sb, "BatchNorm_0", getattr(tb, f"conv{i + 1}norm1"))
+    set_convT(params, "TorchConvTranspose_0", tm.upsample1)
+    set_conv(params, "TorchConv_0", tm.out_conv)
+
+    y = model.apply(variables, jnp.asarray(to_channels_last(x)), train=False)
+    assert_close(y, run_torch(tm, x), atol=1e-3, rtol=2e-3)
+
+
+def test_fcn2d_oracle():
+    _install_import_stubs()
+    mod = ref_module("two_d.fcn")
+    tm = randomize(mod.FCN32s(in_class=1, n_class=2), scale=0.04)
+
+    from general_medical_image_segmentation_cnn_framework_tpu.models.two_d.fcn2d import (
+        FCN32s,
+    )
+
+    model = FCN32s(in_class=1, n_class=2)
+    x = np.random.default_rng(22).normal(size=(1, 1, 32, 32)).astype(np.float32)
+    variables = unfreeze(
+        model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.asarray(to_channels_last(x)), train=False,
+        )
+    )
+    params = variables["params"]
+
+    convs = [tm.conv1_1, tm.conv1_2, tm.conv2_1, tm.conv2_2,
+             tm.conv3_1, tm.conv3_2, tm.conv3_3,
+             tm.conv4_1, tm.conv4_2, tm.conv4_3,
+             tm.conv5_1, tm.conv5_2, tm.conv5_3,
+             tm.fc6, tm.fc7, tm.score_fr]
+    for i, c in enumerate(convs):
+        set_conv(params, f"TorchConv_{i}", c)
+    for k, v in f_convT(tm.upscore).items():
+        params["ConvTranspose_0"][k] = jnp.asarray(v)
+
+    y = model.apply(variables, jnp.asarray(to_channels_last(x)), train=False)
+    assert_close(y, run_torch(tm, x), atol=5e-4, rtol=2e-3)
+
+
+def _resnet34_stub():
+    """Faithful torchvision-style resnet34 (conv1 7x7/64/s2, bn1, maxpool
+    3/2/1, BasicBlock layers [3,4,6,3]) so unetpp's encoder import works.
+    CAVEAT: unlike the other oracles, the ENCODER definition here is this
+    stub (the public torchvision architecture), but the decoder grid, mix
+    blend and heads under test are the reference's own executable code."""
+    import torch.nn as tnn
+
+    class BasicBlock(tnn.Module):
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inplanes, planes, 3, stride=stride, padding=1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.relu = tnn.ReLU(inplace=True)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, padding=1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.downsample = downsample
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class ResNet34(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+            inplanes = 64
+            layers = []
+            for planes, blocks, stride in ((64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)):
+                downsample = None
+                if stride != 1 or inplanes != planes:
+                    downsample = tnn.Sequential(
+                        tnn.Conv2d(inplanes, planes, 1, stride=stride, bias=False),
+                        tnn.BatchNorm2d(planes),
+                    )
+                blist = [BasicBlock(inplanes, planes, stride, downsample)]
+                inplanes = planes
+                for _ in range(1, blocks):
+                    blist.append(BasicBlock(inplanes, planes))
+                layers.append(tnn.Sequential(*blist))
+            self.layer1, self.layer2, self.layer3, self.layer4 = layers
+
+    return ResNet34()
+
+
+def test_unetpp_oracle():
+    _install_import_stubs()
+    sys.modules["torchvision.models"].resnet34 = lambda pretrained=False: _resnet34_stub()
+    sys.modules["torchvision"].models.resnet34 = sys.modules["torchvision.models"].resnet34
+    mod = ref_module("two_d.unetpp")
+    tm = randomize(mod.ResNet34UnetPlus(num_channels=1, num_class=2))
+
+    from general_medical_image_segmentation_cnn_framework_tpu.models.two_d.unetpp import (
+        UNetPlusPlus,
+    )
+
+    model = UNetPlusPlus(num_channels=1, num_class=2)
+    x = np.random.default_rng(23).normal(size=(1, 1, 64, 64)).astype(np.float32)
+    variables = unfreeze(
+        model.init(jax.random.PRNGKey(0), jnp.asarray(to_channels_last(x)), train=False)
+    )
+    params, stats = variables["params"], variables["batch_stats"]
+
+    set_conv(params, "TorchConv_0", tm.firstconv)
+    set_norm(params, stats, "BatchNorm_0", tm.firstbn)
+    bi = 0
+    for layer in [tm.encoder1, tm.encoder2, tm.encoder3, tm.encoder4]:
+        for tb in layer:
+            scope, sscope = params[f"_BasicBlock_{bi}"], stats[f"_BasicBlock_{bi}"]
+            set_conv(scope, "TorchConv_0", tb.conv1)
+            set_norm(scope, sscope, "BatchNorm_0", tb.bn1)
+            set_conv(scope, "TorchConv_1", tb.conv2)
+            set_norm(scope, sscope, "BatchNorm_1", tb.bn2)
+            if tb.downsample is not None:
+                set_conv(scope, "TorchConv_2", tb.downsample[0])
+                set_norm(scope, sscope, "BatchNorm_2", tb.downsample[1])
+            bi += 1
+
+    decs = [tm.decoder0_1, tm.decoder1_1, tm.decoder0_2, tm.decoder2_1,
+            tm.decoder1_2, tm.decoder0_3, tm.decoder3_1, tm.decoder2_2,
+            tm.decoder1_3, tm.decoder0_4]
+    for i, td in enumerate(decs):
+        scope, sscope = params[f"_DecoderBlock_{i}"], stats[f"_DecoderBlock_{i}"]
+        for j, (c, b) in enumerate([(td.conv1, td.norm1), (td.conv2, td.norm2),
+                                    (td.conv3, td.norm3)]):
+            set_conv(scope, f"TorchConv_{j}", c)
+            set_norm(scope, sscope, f"BatchNorm_{j}", b)
+
+    for i, head in enumerate([tm.logit1, tm.logit2, tm.logit3, tm.logit4]):
+        set_conv(params, f"TorchConv_{i + 1}", head)
+    params["mix"] = jnp.asarray(tm.mix.detach().numpy())
+
+    y = model.apply(variables, jnp.asarray(to_channels_last(x)), train=False)
+    assert_close(y, run_torch(tm, x), atol=1e-3, rtol=2e-3)
