@@ -234,7 +234,10 @@ class BasicLayerUp(nn.Module):
             x, _, _, _ = blk(x, attn_mask, prev, train)
 
         if self.has_upsample:
-            x = PatchExpand(self.dim // 2, self.dtype)(x)
+            # reference PatchExpand_Up(dim) = Linear(dim, 2*dim) -> channels
+            # dim/2 after the 2x2 shuffle (reference vt_unet.py:583,445-470);
+            # passing dim//2 here would halve the decoder width
+            x = PatchExpand(self.dim, self.dtype)(x)
         return x
 
 

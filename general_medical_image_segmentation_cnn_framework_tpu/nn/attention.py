@@ -258,8 +258,14 @@ class SwinTransformerBlock3D(nn.Module):
         norm1 = nn.LayerNorm(dtype=self.dtype)
         norm2 = nn.LayerNorm(dtype=self.dtype)
         mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop, self.dtype)
+        # The reference constructs the attention module with the CONFIGURED
+        # window (reference vt_unet.py:303-305), so the bias table stays
+        # (2w-1)^3 even when the runtime window is clamped by a small grid;
+        # the forward then slices relative_position_index[:N, :N]
+        # (reference :190). Passing the clamped size here would both change
+        # the param tree shape and the (quirky) bias-slice semantics.
         attn = WindowAttention3D(
-            self.dim, window_size, self.num_heads, self.qkv_bias,
+            self.dim, self.window_size, self.num_heads, self.qkv_bias,
             self.attn_drop, self.drop, self.dtype,
         )
         drop_path = DropPath(self.drop_path)

@@ -31,6 +31,12 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavyweight test (e.g. the 128^3 VT-UNet oracle)"
+    )
+
+
 @pytest.fixture(scope="session")
 def synthetic_dataset(tmp_path_factory):
     """Tiny synthetic NIfTI dataset: 3 train + 2 test volumes of 32^3 with a

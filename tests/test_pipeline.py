@@ -88,6 +88,72 @@ def test_elastic_label_stays_binary():
     assert set(np.unique(out.gt.data).tolist()) <= {0.0, 1.0}
 
 
+def test_bspline_field_matches_direct_oracle():
+    """The separable evaluation equals a naive per-voxel basis sum on the
+    ITK mesh (mesh = n-3 cells over the voxel-center extent, grid origin one
+    cell outside, centered cubic B-spline kernel)."""
+    from general_medical_image_segmentation_cnn_framework_tpu.data.transforms import (
+        _cubic_bspline_kernel,
+    )
+
+    rng = np.random.default_rng(0)
+    n, shape = 5, (7, 9, 11)
+    grid = rng.normal(size=(3, n, n, n))
+    field = RandomElasticDeformation(num_control_points=n).displacement_field(
+        grid, shape
+    )
+    assert field.shape == (3,) + shape
+
+    mesh = n - 3
+    for axis in range(3):
+        for (x, y, z) in [(0, 0, 0), (3, 4, 5), (6, 8, 10), (1, 7, 2)]:
+            acc = 0.0
+            for i in range(n):
+                for j in range(n):
+                    for k in range(n):
+                        w = 1.0
+                        for coord, idx, size in ((x, i, shape[0]), (y, j, shape[1]), (z, k, shape[2])):
+                            h = (size - 1) / mesh
+                            s = coord / h + 1.0
+                            w *= _cubic_bspline_kernel(np.asarray([s - idx]))[0]
+                        acc += w * grid[axis, i, j, k]
+            np.testing.assert_allclose(field[axis, x, y, z], acc, rtol=1e-10, atol=1e-12)
+
+
+def test_bspline_partition_of_unity():
+    """Constant control coefficients reproduce the constant everywhere in the
+    transform domain — the defining property of a valid B-spline basis."""
+    n, shape = 7, (12, 13, 14)
+    grid = np.full((3, n, n, n), 2.5)
+    field = RandomElasticDeformation(num_control_points=n).displacement_field(
+        grid, shape
+    )
+    np.testing.assert_allclose(field, 2.5, rtol=1e-12)
+
+
+def test_elastic_borders_nearly_still():
+    """With tio's 2 locked control layers the displacement at the volume
+    faces is an order of magnitude below the interior maximum."""
+    t = RandomElasticDeformation()
+    rng = np.random.default_rng(11)
+    n = t.num_control_points
+    grid = rng.uniform(-t.max_displacement, t.max_displacement, size=(3, n, n, n))
+    for b in range(t.locked_borders):
+        grid[:, [b, n - 1 - b], :, :] = 0
+        grid[:, :, [b, n - 1 - b], :] = 0
+        grid[:, :, :, [b, n - 1 - b]] = 0
+    field = t.displacement_field(grid, (24, 24, 24))
+    border = np.abs(np.concatenate([
+        field[:, [0, -1], :, :].ravel(),
+        field[:, :, [0, -1], :].ravel(),
+        field[:, :, :, [0, -1]].ravel(),
+    ]))
+    # at a face the locked axis leaves weight <= B3(1) = 1/6 on free points
+    assert border.max() <= t.max_displacement / 6 + 1e-9
+    assert border.max() < 0.5 * np.abs(field).max()
+    assert np.abs(field).max() <= t.max_displacement  # basis is a convex combo
+
+
 def test_build_transform_aug_flag(tiny_config):
     t_plain = build_transform(tiny_config, is_train=True)
     assert len(t_plain.transforms) == 1  # just ZNorm when aug=false
