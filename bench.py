@@ -122,7 +122,8 @@ def bench_whole_volume_train(vol_shape=(256, 256, 128), n_steps=5, remat=False):
     """Whole-volume TRAINING (no patch sampling): one fwd+bwd+Adam step on
     the full volume. Returns 128^3-patch-equivalents/s. remat=False fits
     v5e HBM at this size (measured 305.8 vs 318.0 ms with remat_policy=conv
-    vs 359.6 full remat); the caller retries with selective remat on OOM."""
+    vs 359.6 full remat); bench_whole_volume_train_auto retries with
+    selective remat if the no-remat step OOMs on a smaller chip."""
     from general_medical_image_segmentation_cnn_framework_tpu.config import ConfigDict
     from general_medical_image_segmentation_cnn_framework_tpu.models import build_model
     from general_medical_image_segmentation_cnn_framework_tpu.train import (
@@ -159,6 +160,20 @@ def bench_whole_volume_train(vol_shape=(256, 256, 128), n_steps=5, remat=False):
     return patch_equiv / per_step
 
 
+def bench_whole_volume_train_auto():
+    """No-remat first (fastest, fits a v5e); on failure (e.g. OOM on a
+    smaller chip) retry with selective remat_policy=conv."""
+    try:
+        return bench_whole_volume_train(remat=False)
+    except Exception as e:
+        print(
+            f"[companion] whole-volume train no-remat failed ({str(e)[:120]}); "
+            "retrying with remat_policy=conv",
+            file=sys.stderr,
+        )
+        return bench_whole_volume_train(remat=True)
+
+
 def main() -> None:
     n_dev = len(jax.devices())
     vols_per_min = bench_inference()
@@ -181,7 +196,7 @@ def main() -> None:
     record(f"unet3d_128_train_chips{n_dev}", lambda: bench_train("unet"), "patches/s")
     record(
         f"unet3d_whole_volume_train_256x256x128_chips{n_dev}",
-        bench_whole_volume_train,
+        bench_whole_volume_train_auto,
         "patch_equiv/s",
     )
     record(f"unetr_128_train_chips{n_dev}", lambda: bench_train("unetr", n_steps=5), "patches/s")

@@ -220,7 +220,14 @@ def _bspline_axis_matrix(num_voxels: int, num_cp: int) -> np.ndarray:
     (num_voxels - 1 for unit spacing), grid origin one cell before the
     domain, control point k at mesh coordinate k - 1."""
     mesh = num_cp - 3
-    h = (num_voxels - 1) / mesh  # control-cell size in voxels
+    if mesh <= 0:
+        raise ValueError(
+            f"num_control_points must be >= 4 (got {num_cp}); the cubic "
+            "B-spline mesh needs at least one cell (tio enforces the same)"
+        )
+    # singleton axis: the lone voxel center sits at extent 0, i.e. mesh
+    # coordinate 1 regardless of cell size — avoid 0/0
+    h = (num_voxels - 1) / mesh if num_voxels > 1 else 1.0  # control-cell size in voxels
     s = np.arange(num_voxels, dtype=np.float64) / h + 1.0  # mesh coords of voxel centers
     k = np.arange(num_cp, dtype=np.float64)
     return _cubic_bspline_kernel(s[:, None] - k[None, :])

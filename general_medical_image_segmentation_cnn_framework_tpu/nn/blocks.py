@@ -505,6 +505,11 @@ class ConvBlock(nn.Module):
             y = pallas_conv3d(x.astype(self.dtype), kernel.astype(self.dtype))
             if cbias is not None:
                 y = y + cbias.astype(y.dtype)
+            # same named checkpoint as the XLA branch below so
+            # remat_policy='conv' keeps its meaning under pallas_conv=true
+            from jax.ad_checkpoint import checkpoint_name
+
+            y = checkpoint_name(y, "conv_out")
             y = BatchNorm(
                 use_running_average=False,
                 dtype=self.dtype,

@@ -129,6 +129,53 @@ def conv3d_decomposed(
     return y.reshape(n, d_out, h_out, w_out, cout).astype(x.dtype)
 
 
+def conv3d_im2col(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    stride: Sequence[int] = (1, 1, 1),
+    padding: Sequence[int] = (1, 1, 1),
+) -> jnp.ndarray:
+    """x: [N, D, H, W, Cin]; kernel: [k, k, k, Cin, Cout] (DHWIO).
+
+    All k^3 taps gathered into the channel dim, ONE matmul with
+    K = k^3*Cin. The r3 roofline showed the deep small-grid U-Net levels
+    (8^3..32^3, 128-512 ch) at 3-12%% MFU under the tap-grouped conv2d —
+    latency/occupancy-bound, not traffic-bound. Here the materialized
+    [V, k^3*Cin] matrix is small (<=226 MB at 32^3x128ch bf16) and the
+    contraction K = 27*Cin fills the MXU's sublane depth completely.
+    Routing (nn/blocks.TorchConv) applies it only where the im2col fits
+    comfortably; the large shallow levels keep the tap-grouped form
+    (where im2col traffic would explode — measured r1, stem note).
+    """
+    n, d, h, w, cin = x.shape
+    k = kernel.shape[0]
+    cout = kernel.shape[-1]
+    sd, sh, sw = stride
+    pd, ph, pw = padding
+    xp = jnp.pad(x, ((0, 0), (pd, pd), (ph, ph), (pw, pw), (0, 0)))
+    d_out = (d + 2 * pd - k) // sd + 1
+    h_out = (h + 2 * ph - k) // sh + 1
+    w_out = (w + 2 * pw - k) // sw + 1
+    cols = []
+    for dz in range(k):
+        for dy in range(k):
+            for dx in range(k):
+                cols.append(
+                    xp[
+                        :,
+                        dz : dz + (d_out - 1) * sd + 1 : sd,
+                        dy : dy + (h_out - 1) * sh + 1 : sh,
+                        dx : dx + (w_out - 1) * sw + 1 : sw,
+                        :,
+                    ]
+                )
+    # channel order ((dz*k+dy)*k+dx)*cin + ci == row-major [kd,kh,kw,Cin]
+    xm = jnp.concatenate(cols, axis=-1).reshape(-1, k**3 * cin)
+    km = kernel.reshape(k**3 * cin, cout)
+    y = xm @ km
+    return y.reshape(n, d_out, h_out, w_out, cout).astype(x.dtype)
+
+
 def conv_patch_matmul(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """Conv with stride == kernel_size, no padding (patch embedding) as ONE
     matmul over space-to-depth blocks.

@@ -58,7 +58,9 @@ def build_epoch_plan(
             f"{tuple(patch_size)}"
         )
     per = maxs[vol_order]  # [N, 3] inclusive upper bounds
-    origins = np.floor(rng.random((len(vol_order), 3)) * (per + 1)).astype(np.int64)
+    # rng.integers broadcasts over the per-volume bounds and is exact
+    # (floor(random()*(n)) can round up to n when n is a power of two)
+    origins = rng.integers(per + 1)
     return (
         vol_order.reshape(n_steps, batch_size).astype(np.int32),
         origins.reshape(n_steps, batch_size, 3).astype(np.int32),

@@ -32,15 +32,19 @@ def timeit(fn, args, reps=10):
     return (time.perf_counter() - t0) / reps
 
 
-def fwdbwd(f):
-    """Loss-like wrapper forcing ALL grads (r2 note: partial-grad probes
-    let XLA DCE most of the backward)."""
+def fwdbwd(f, n_diff=None):
+    """Loss-like wrapper forcing grads for the first ``n_diff`` args (all by
+    default — r2 note: partial-grad probes let XLA DCE most of the backward).
+    Trailing non-diff args exist so state like batch_stats is PASSED, not
+    closed over (CLAUDE.md: closures bake arrays into the HLO as constants)."""
 
     def g(*args):
+        nd = len(args) if n_diff is None else n_diff
+
         def loss(*a):
             return jnp.sum(f(*a).astype(jnp.float32))
 
-        val, grads = jax.value_and_grad(loss, argnums=tuple(range(len(args))))(*args)
+        val, grads = jax.value_and_grad(loss, argnums=tuple(range(nd)))(*args)
         return (val,) + tuple(jnp.sum(x.astype(jnp.float32)) for x in jax.tree_util.tree_leaves(grads))
 
     return jax.jit(g)
@@ -90,19 +94,19 @@ def profile_unetr(patch, reps):
     )
 
     t_full = timeit(
-        fwdbwd(lambda p, xx: model.apply(
-            {"params": p, "batch_stats": variables["batch_stats"]}, xx,
+        fwdbwd(lambda p, xx, s: model.apply(
+            {"params": p, "batch_stats": s}, xx,
             train=True, rngs={"dropout": jax.random.PRNGKey(2)},
             mutable=["batch_stats"],
-        )[0]),
-        (variables["params"], x), reps,
+        )[0], n_diff=2),
+        (variables["params"], x, variables["batch_stats"]), reps,
     )
     t_eval = timeit(
-        fwdbwd(lambda p, xx: model.apply(
-            {"params": p, "batch_stats": variables["batch_stats"]}, xx,
+        fwdbwd(lambda p, xx, s: model.apply(
+            {"params": p, "batch_stats": s}, xx,
             train=False,
-        )),
-        (variables["params"], x), reps,
+        ), n_diff=2),
+        (variables["params"], x, variables["batch_stats"]), reps,
     )
     enc = 12 * t_twelve / 12
     print(f"full UNETR fwd+bwd (train):  {t_full*1e3:6.2f} ms")

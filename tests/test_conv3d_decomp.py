@@ -92,6 +92,44 @@ def test_tapgrouped_gradients_match():
     np.testing.assert_allclose(np.asarray(gk_t), np.asarray(gk_n), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("k,padding", [(3, (1, 1, 1)), (3, (0, 0, 0)), (5, (2, 2, 2))])
+@pytest.mark.parametrize("stride", [(1, 1, 1), (2, 2, 2), (1, 2, 2)])
+def test_im2col_matches_native(k, padding, stride):
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.conv3d import (
+        conv3d_im2col,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 8, 9, 10, 4)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(k, k, k, 4, 6)).astype(np.float32))
+    got = conv3d_im2col(x, kernel, stride, padding)
+    want = _native(x, kernel, stride, padding)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_im2col_gradients_match():
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.conv3d import (
+        conv3d_im2col,
+    )
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(1, 6, 7, 6, 3)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 5)).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(1, 6, 7, 6, 5)).astype(np.float32))
+
+    gx_t, gk_t = jax.grad(
+        lambda xx, kk: jnp.sum(conv3d_im2col(xx, kk, (1, 1, 1), (1, 1, 1)) * r),
+        argnums=(0, 1),
+    )(x, kernel)
+    gx_n, gk_n = jax.grad(
+        lambda xx, kk: jnp.sum(_native(xx, kk, (1, 1, 1), (1, 1, 1)) * r),
+        argnums=(0, 1),
+    )(x, kernel)
+    np.testing.assert_allclose(np.asarray(gx_t), np.asarray(gx_n), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_t), np.asarray(gk_n), rtol=1e-4, atol=1e-4)
+
+
 def test_patch_matmul_matches_native():
     """stride == kernel (ViT patch embed) as one matmul."""
     from general_medical_image_segmentation_cnn_framework_tpu.ops.conv3d import (

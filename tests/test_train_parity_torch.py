@@ -67,7 +67,9 @@ def test_training_trajectory_matches_torch():
     opt_state = tx.init(params)
     step = make_train_step(config, model, tx)
 
-    # torch twin with the SAME weights
+    # torch twin with the SAME weights (seed the GLOBAL torch RNG its ctor
+    # draws from, so the trajectory is suite-order independent)
+    torch.manual_seed(0)
     tm = _TorchUNet3D(1, 2, f)
     tm.train()
     _transplant(params, tm)
