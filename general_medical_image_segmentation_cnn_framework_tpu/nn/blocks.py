@@ -56,6 +56,7 @@ class TorchConv(nn.Module):
 
         from ..ops.conv3d import (
             conv3d_decomposed,
+            conv3d_im2col,
             conv3d_tapgrouped,
             conv_patch_matmul,
             eligible,
@@ -109,6 +110,14 @@ class TorchConv(nn.Module):
             # measured fastest at every level on v5e; the decomposed
             # form covers the strided-depth cases
             conv = conv3d_tapgrouped if s[0] == 1 else conv3d_decomposed
+            # deep small-grid levels are occupancy-bound under the conv2d
+            # forms (r3 roofline: 3-12% MFU at 8^3..32^3); the one-matmul
+            # im2col contraction (K = k^3*Cin) fills the MXU there and its
+            # [V, k^3*Cin] materialization is small. Opt-in threshold while
+            # being validated: GMIST_IM2COL_VOXELS=<max input voxels>.
+            lim = int(os.environ.get("GMIST_IM2COL_VOXELS", "0"))
+            if lim and x.shape[1] * x.shape[2] * x.shape[3] <= lim:
+                conv = conv3d_im2col
             y = conv(x.astype(self.dtype), kernel.astype(self.dtype), s, p)
             if self.use_bias:
                 bias = self.param(
