@@ -82,6 +82,59 @@ def test_random_affine_label_stays_binary():
     assert out.source.data.shape == (1, 16, 16, 16)
 
 
+class _FixedRng:
+    """Generator stand-in returning scripted uniform() draws, so affine
+    semantics can be asserted analytically (direction, center, handedness)."""
+
+    def __init__(self, draws):
+        self._draws = [np.asarray(d, dtype=np.float64) for d in draws]
+
+    def uniform(self, lo, hi, size=None):
+        return self._draws.pop(0)
+
+
+def test_affine_identity_is_exact():
+    s = _subject()
+    src0 = s.source.data.copy()
+    rng = _FixedRng([[1, 1, 1], [0, 0, 0], [0, 0, 0]])
+    out = RandomAffine()(s, rng)
+    np.testing.assert_allclose(out.source.data, src0, atol=1e-5)
+
+
+def test_affine_translation_moves_spike_exactly():
+    """Integer translation t must land input voxel p at p + t (forward
+    convention: x_out = M @ x_in; the resampler uses M^-1)."""
+    shape = (11, 11, 11)
+    img = np.zeros((1,) + shape, np.float32)
+    p = (3, 7, 5)
+    img[0][p] = 1.0
+    s = Subject(Volume(img.copy()), Volume(img.copy()))
+    t = (2.0, -3.0, 1.0)
+    rng = _FixedRng([[1, 1, 1], [0, 0, 0], list(t)])
+    out = RandomAffine()(s, rng)
+    expect = (5, 4, 6)
+    assert out.source.data[0][expect] == pytest.approx(1.0, abs=1e-5)
+    assert out.gt.data[0][expect] == 1.0
+    assert out.gt.data.sum() == 1.0
+
+
+def test_affine_rotation_90deg_about_center():
+    """90 deg about the first axis with odd extent is an exact voxel
+    permutation: p -> R(p - c) + c with Rx = [[1,0,0],[0,0,-1],[0,1,0]]."""
+    shape = (9, 9, 9)
+    img = np.zeros((1,) + shape, np.float32)
+    p = np.array([2.0, 3.0, 8.0])
+    img[0][tuple(p.astype(int))] = 1.0
+    s = Subject(Volume(img.copy()), Volume(img.copy()))
+    rng = _FixedRng([[1, 1, 1], [90, 0, 0], [0, 0, 0]])
+    out = RandomAffine()(s, rng)
+    c = (np.asarray(shape) - 1) / 2.0
+    rx = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], dtype=np.float64)
+    expect = tuple((rx @ (p - c) + c).astype(int))
+    assert out.source.data[0][expect] == pytest.approx(1.0, abs=1e-4)
+    assert out.gt.data[0][expect] == 1.0
+
+
 def test_elastic_label_stays_binary():
     s = _subject()
     out = RandomElasticDeformation()(s, np.random.default_rng(6))
