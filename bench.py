@@ -88,7 +88,9 @@ def bench_inference(network="unet", n_volumes=3, vol_shape=(256, 256, 128), patc
         t0 = time.perf_counter()
         sliding_window_predict(forward, variables, vol, (patch,) * 3, overlap, batch_size=batch_size)
         times.append(time.perf_counter() - t0)
-    return 60.0 / float(np.mean(times))
+    # median: single tunnel-latency outliers inflate the mean (run-to-run
+    # variance on this transport is +-40%; see BASELINE.md)
+    return 60.0 / float(np.median(times))
 
 
 def bench_whole_volume(network="unet", n_volumes=5, vol_shape=(256, 256, 128)):
@@ -115,7 +117,7 @@ def bench_whole_volume(network="unet", n_volumes=5, vol_shape=(256, 256, 128)):
         t0 = time.perf_counter()
         whole_volume_predict(forward, variables, vol, input_dtype=jnp.bfloat16)
         times.append(time.perf_counter() - t0)
-    return 60.0 / float(np.mean(times))
+    return 60.0 / float(np.median(times))
 
 
 def bench_whole_volume_train(vol_shape=(256, 256, 128), n_steps=5, remat=False):
@@ -160,6 +162,65 @@ def bench_whole_volume_train(vol_shape=(256, 256, 128), n_steps=5, remat=False):
     return patch_equiv / per_step
 
 
+def bench_epoch_scan(patch=128, vol=160, n_vols=2, samples=10):
+    """End-to-end-per-epoch training via the epoch_scan path: device-side
+    uniform patch sampling + forward + backward + Adam + metrics for a whole
+    epoch in ONE XLA program (the CLI's `epoch_scan=true` + device backend).
+    Returns patches/s including the sampling work."""
+    from general_medical_image_segmentation_cnn_framework_tpu.models import build_model
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.epoch_scan import (
+        build_epoch_plan,
+        make_epoch_scan,
+    )
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.fused import (
+        fused_bce_dice_metrics,
+    )
+    from general_medical_image_segmentation_cnn_framework_tpu.train import (
+        init_train_state,
+        make_forward,
+    )
+
+    config = _config("unet", patch)
+    config.batch_size = 1
+    model = build_model(config)
+    rng = jax.random.PRNGKey(0)
+    params, stats, opt, tx = init_train_state(config, model, rng)
+    gen = jax.jit(lambda k: (
+        jax.random.normal(k, (n_vols, vol, vol, vol, 1), jnp.float32),
+        (jax.random.uniform(jax.random.fold_in(k, 1), (n_vols, vol, vol, vol, 1)) > 0.5).astype(jnp.float32),
+    ))
+    volumes_dev, labels_dev = gen(rng)
+
+    forward = make_forward(config, model)
+
+    def loss_and_metric(pred, gt):
+        loss, _, dice = fused_bce_dice_metrics(pred, gt)
+        return loss, dice
+
+    epoch_fn = make_epoch_scan(config, model, tx, forward, loss_and_metric)
+    plan_rng = np.random.default_rng(0)
+    vol_idx, origins = build_epoch_plan(
+        n_vols, samples, 1, (vol, vol, vol), (patch,) * 3, plan_rng
+    )
+    n_steps = vol_idx.shape[0]
+
+    def run():
+        nonlocal params, stats, opt
+        params, stats, opt, losses, dices = epoch_fn(
+            params, stats, opt, volumes_dev, labels_dev,
+            jnp.asarray(vol_idx), jnp.asarray(origins), rng,
+        )
+        float(losses[-1])
+
+    run()  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return n_steps / float(np.median(times))
+
+
 def bench_whole_volume_train_auto():
     """No-remat first (fastest, fits a v5e); on failure (e.g. OOM on a
     smaller chip) retry with selective remat_policy=conv."""
@@ -198,6 +259,11 @@ def main() -> None:
         f"unet3d_whole_volume_train_256x256x128_chips{n_dev}",
         bench_whole_volume_train_auto,
         "patch_equiv/s",
+    )
+    record(
+        f"unet3d_128_train_epoch_scan_e2e_chips{n_dev}",
+        bench_epoch_scan,
+        "patches/s",
     )
     record(f"unetr_128_train_chips{n_dev}", lambda: bench_train("unetr", n_steps=5), "patches/s")
     record(f"vtunet_128_train_chips{n_dev}", lambda: bench_train("vtnet", n_steps=5), "patches/s")

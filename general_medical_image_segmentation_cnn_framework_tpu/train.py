@@ -419,23 +419,20 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
                 f"{epoch_time:.3f}s)\nLoss: {loss_meter.val}\nDice: {dice_meter.val}\n"
             )
         else:
-            load_start = time.time()
-            for i, (x_np, y_np) in enumerate(dataset):
-                batch = shard_batch(mesh, {"x": x_np, "y": y_np})
-                load_time = time.time() - load_start
-                step_start = time.time()
-                rng, step_rng = jax.random.split(rng)
-                params, batch_stats, opt_state, loss, dice = train_step(
-                    params, batch_stats, opt_state, batch["x"], batch["y"], step_rng
-                )
-                loss_f, dice_f = float(loss), float(dice)
+
+            def _log_step(p):
+                # materialize + log a step's scalars (blocks until the device
+                # finishes that step)
+                nonlocal iteration
+                i, loss_d, dice_d, bs, load_time, step_start = p
+                loss_f, dice_f = float(loss_d), float(dice_d)
                 step_time = time.time() - step_start
 
                 iteration += 1
                 writer.add_scalar("Training/Loss", loss_f, iteration)
                 writer.add_scalar("Training/dice", dice_f, iteration)
-                loss_meter.update(loss_f, x_np.shape[0])
-                dice_meter.update(dice_f, x_np.shape[0])
+                loss_meter.update(loss_f, bs)
+                dice_meter.update(dice_f, bs)
                 step_meter.update(step_time)
                 load_meter.update(load_time)
                 progress.update(batch_task, completed=i + 1)
@@ -444,7 +441,29 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
                     f"train time: {step_meter.val:.3f}s\n"
                     f"Loss: {loss_meter.val}\nDice: {dice_meter.val}\n"
                 )
+
+            load_start = time.time()
+            pending = None
+            for i, (x_np, y_np) in enumerate(dataset):
+                batch = shard_batch(mesh, {"x": x_np, "y": y_np})
+                load_time = time.time() - load_start
+                step_start = time.time()
+                rng, step_rng = jax.random.split(rng)
+                params, batch_stats, opt_state, loss, dice = train_step(
+                    params, batch_stats, opt_state, batch["x"], batch["y"], step_rng
+                )
+                # one-step-deferred scalar fetch: float() blocks until the
+                # device finishes, so fetching step i only AFTER step i+1 is
+                # dispatched keeps the device busy through the host-side
+                # TB/log work and the dispatch latency (the eager fetch
+                # measured 82 -> 117 ms/step on a tunneled v5e). Values are
+                # identical; step_time becomes the pipelined wall per step.
+                if pending is not None:
+                    _log_step(pending)
+                pending = (i, loss, dice, x_np.shape[0], load_time, step_start)
                 load_start = time.time()
+            if pending is not None:
+                _log_step(pending)
 
         if getattr(config, "use_scheduler", True):
             logger.info(f"Learning rate:  {float(opt_state.hyperparams['learning_rate'])}")
