@@ -37,20 +37,24 @@ def _config(network, patch):
 
 
 def bench_train(network="unet", patch=128, n_steps=10, bs=1):
+    """patch: int for cubic 3-D patches, or a (D, H, W) tuple — (1, H, W)
+    benches the 2-D families through the driver's slice adapter."""
     from general_medical_image_segmentation_cnn_framework_tpu.models import build_model
     from general_medical_image_segmentation_cnn_framework_tpu.train import (
         init_train_state,
         make_train_step,
     )
 
-    config = _config(network, patch)
+    shape = (patch,) * 3 if isinstance(patch, int) else tuple(patch)
+    config = _config(network, 0)
+    config.patch_size = shape
     model = build_model(config)
     rng = jax.random.PRNGKey(0)
     params, stats, opt, tx = init_train_state(config, model, rng)
     step = make_train_step(config, model, tx)
     gen = jax.jit(lambda k: (
-        jax.random.normal(jax.random.fold_in(k, 1), (bs, patch, patch, patch, 1), jnp.float32),
-        (jax.random.uniform(jax.random.fold_in(k, 2), (bs, patch, patch, patch, 1)) > 0.5).astype(jnp.float32),
+        jax.random.normal(jax.random.fold_in(k, 1), (bs,) + shape + (1,), jnp.float32),
+        (jax.random.uniform(jax.random.fold_in(k, 2), (bs,) + shape + (1,)) > 0.5).astype(jnp.float32),
     ))
     x, y = gen(rng)
     for _ in range(3):
@@ -63,7 +67,7 @@ def bench_train(network="unet", patch=128, n_steps=10, bs=1):
     return bs * n_steps / (time.perf_counter() - t0)
 
 
-def bench_inference(network="unet", n_volumes=3, vol_shape=(256, 256, 128), patch=128, batch_size=1):
+def bench_inference(network="unet", n_volumes=7, vol_shape=(256, 256, 128), patch=128, batch_size=1):
     # batch_size=1 measured fastest at 128^3 on v5e (larger tiles batches
     # regress XLA layouts; see BASELINE.md r2 notes)
     from general_medical_image_segmentation_cnn_framework_tpu.models import build_model
@@ -271,6 +275,16 @@ def main() -> None:
         f"vtunet_inference_256x256x128_chips{n_dev}",
         lambda: bench_inference("vtnet", n_volumes=2, batch_size=1),
         "vols/min",
+    )
+    record(
+        f"vtunet_whole_volume_256x256x128_chips{n_dev}",
+        lambda: bench_whole_volume("vtnet", n_volumes=3),
+        "vols/min",
+    )
+    record(
+        f"unet2d_512_train_chips{n_dev}",
+        lambda: bench_train("unet2d", patch=(1, 512, 512), bs=8, n_steps=10),
+        "slices/s",
     )
 
     print(

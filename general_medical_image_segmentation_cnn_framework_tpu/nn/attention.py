@@ -96,8 +96,9 @@ def get_window_size(x_size, window_size, shift_size=None):
 
 
 @lru_cache()
-def compute_mask(dp, hp, wp, window_size, shift_size):
-    """Attention mask for cyclic shift (reference :617-630). numpy, cached."""
+def window_region_ids(dp, hp, wp, window_size, shift_size) -> np.ndarray:
+    """Window-partitioned cyclic-shift region ids [nW, N] (reference
+    :617-630 up to the pairwise step). numpy, cached — tiny (nW * N ints)."""
     img_mask = np.zeros((1, dp, hp, wp, 1), np.float32)
     cnt = 0
     for d in (
@@ -121,10 +122,23 @@ def compute_mask(dp, hp, wp, window_size, shift_size):
     wd, wh, ww = window_size
     m = img_mask.reshape(1, d // wd, wd, h // wh, wh, w // ww, ww, 1)
     m = m.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, wd * wh * ww)
-    attn_mask = m[:, None, :] - m[:, :, None]
     # NOTE: return numpy, not jnp — the lru_cache must never hold a traced
     # device array (it would leak tracers across jit traces)
-    return np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)  # [nW, N, N]
+    return m  # [nW, N]
+
+
+def compute_mask(dp, hp, wp, window_size, shift_size):
+    """Attention mask for cyclic shift (reference :617-630): [nW, N, N],
+    -100 where two window positions belong to different shift regions.
+
+    The pairwise tensor is built ON DEVICE from the tiny cached id grid:
+    embedding it as a literal would bake O(nW * N^2) floats into the HLO
+    (60 MB at the 128^3 training grid, 235 MB for a 256x256x128 whole
+    volume — past the remote-compile request limit on tunneled setups).
+    """
+    m = jnp.asarray(window_region_ids(dp, hp, wp, window_size, shift_size))
+    diff = m[:, None, :] - m[:, :, None]
+    return jnp.where(diff != 0, -100.0, 0.0).astype(jnp.float32)
 
 
 def _relative_position_index(window_size) -> np.ndarray:
@@ -220,17 +234,22 @@ class PositionalEncoding3D:
 
     def __call__(self, shape, orig_ch) -> jnp.ndarray:
         b, x, y, z = shape
+
         def axis_emb(length):
             pos = np.arange(length, dtype=np.float32)
             sin_inp = np.einsum("i,j->ij", pos, self.inv_freq)
             return np.concatenate([np.sin(sin_inp), np.cos(sin_inp)], axis=-1)
 
-        emb = np.zeros((x, y, z, self.channels * 3), np.float32)
-        emb[:, :, :, : self.channels] = axis_emb(x)[:, None, None, :]
-        emb[:, :, :, self.channels : 2 * self.channels] = axis_emb(y)[None, :, None, :]
-        emb[:, :, :, 2 * self.channels :] = axis_emb(z)[None, None, :, :]
-        out = np.broadcast_to(emb[None, :, :, :, :orig_ch], (b, x, y, z, orig_ch))
-        return jnp.asarray(out)
+        # only the three tiny per-axis tables are host constants; the full
+        # [x, y, z, 3c] grid is broadcast+concatenated ON DEVICE (a literal
+        # would bake O(x*y*z*c) floats into the HLO per stage — 50+ MB at
+        # whole-volume sizes, a main contributor to remote-compile bloat)
+        c = self.channels
+        ex = jnp.broadcast_to(jnp.asarray(axis_emb(x))[:, None, None, :], (x, y, z, c))
+        ey = jnp.broadcast_to(jnp.asarray(axis_emb(y))[None, :, None, :], (x, y, z, c))
+        ez = jnp.broadcast_to(jnp.asarray(axis_emb(z))[None, None, :, :], (x, y, z, c))
+        emb = jnp.concatenate([ex, ey, ez], axis=-1)[..., :orig_ch]
+        return jnp.broadcast_to(emb[None], (b, x, y, z, orig_ch))
 
 
 class SwinTransformerBlock3D(nn.Module):
@@ -318,6 +337,7 @@ __all__ = [
     "SwinTransformerBlock3D",
     "WindowAttention3D",
     "compute_mask",
+    "window_region_ids",
     "get_window_size",
     "window_partition",
     "window_reverse",
