@@ -116,9 +116,10 @@ class TorchConv(nn.Module):
             # [V, k^3*Cin] materialization is small. Opt-in threshold while
             # being validated: GMIST_IM2COL_VOXELS=<max input voxels>.
             lim = int(os.environ.get("GMIST_IM2COL_VOXELS", "0"))
-            if lim and x.shape[1] * x.shape[2] * x.shape[3] <= lim:
+            if lim and d == (1, 1, 1) and x.shape[1] * x.shape[2] * x.shape[3] <= lim:
                 conv = conv3d_im2col
-            y = conv(x.astype(self.dtype), kernel.astype(self.dtype), s, p)
+            extra = {"dilation": d} if conv is conv3d_tapgrouped else {}
+            y = conv(x.astype(self.dtype), kernel.astype(self.dtype), s, p, **extra)
             if self.use_bias:
                 bias = self.param(
                     "bias", bias_initializer(self.init_type),
@@ -212,15 +213,26 @@ class TorchConvTranspose(nn.Module):
         )
         spatial = "DHW"[3 - n :] if n <= 3 else None
         assert spatial is not None, f"unsupported rank {n}"
-        dn = ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C")
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(1,) * n,
-            padding=[(ki - 1, ki - 1) for ki in k],
-            lhs_dilation=s,
-            dimension_numbers=dn,
-        )
+        if max(s) > 1 and not os.environ.get("GMIST_NATIVE_CONV3D"):
+            # phase decomposition: one ceil(k/s)-tap dense conv with
+            # prod(s)*Cout output lanes + pixel shuffle — identical math,
+            # no lhs_dilation (whose XLA lowering is catastrophic for
+            # large k/s, e.g. the SkipDenseNet k=s+2 upsampling heads)
+            from ..ops.conv3d import conv_transpose_phased
+
+            y = conv_transpose_phased(
+                x.astype(self.dtype), kernel.astype(self.dtype), s
+            )
+        else:
+            dn = ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C")
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(1,) * n,
+                padding=[(ki - 1, ki - 1) for ki in k],
+                lhs_dilation=s,
+                dimension_numbers=dn,
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", bias_initializer(self.init_type),

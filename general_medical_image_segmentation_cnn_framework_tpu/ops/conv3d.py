@@ -37,14 +37,20 @@ import jax.numpy as jnp
 def eligible(kernel_size, stride, dilation, groups: int) -> bool:
     k = tuple(kernel_size)
     d = tuple(dilation)
-    return (
+    s = tuple(stride)
+    if not (
         len(k) == 3
         and k[0] == k[1] == k[2]
         and k[0] in (3, 5)  # the zoo's k3 (U-Nets) and k5 (V-Net) convs
-        and d == (1, 1, 1)
         and groups == 1
-        and all(s in (1, 2) for s in tuple(stride))
-    )
+        and all(si in (1, 2) for si in s)
+    ):
+        return False
+    if d == (1, 1, 1):
+        return True
+    # dilated k3 stride-1 (HighResNet's dilation-2/4 stages): the
+    # tap-grouped form handles it via rhs_dilation + wider depth shifts
+    return d[0] == d[1] == d[2] and s == (1, 1, 1)
 
 
 def conv3d_tapgrouped(
@@ -52,18 +58,21 @@ def conv3d_tapgrouped(
     kernel: jnp.ndarray,
     stride: Sequence[int] = (1, 1, 1),
     padding: Sequence[int] = (1, 1, 1),
+    dilation: Sequence[int] = (1, 1, 1),
 ) -> jnp.ndarray:
     """x: [N, D, H, W, Cin]; kernel: [k, k, k, Cin, Cout] (DHWIO).
 
     Depth taps grouped into conv2d output channels (kd*Cout MXU lanes),
     followed by kd depth-shifted adds carried in float32. Requires
-    depth stride 1; H/W strides pass through to the conv2d.
+    depth stride 1; H/W strides pass through to the conv2d. Dilation is
+    wider depth shifts + conv2d rhs_dilation (HighResNet's d=2/4 stages).
     """
     n, d, h, w, cin = x.shape
     k = kernel.shape[0]
     cout = kernel.shape[-1]
     sd, sh, sw = stride
     pd, ph, pw = padding
+    dd, dh, dw = dilation
     assert sd == 1, "tap-grouped path requires depth stride 1"
 
     # [kh, kw, Cin, kd*Cout], dz-major column blocks
@@ -73,17 +82,18 @@ def conv3d_tapgrouped(
         wcat,
         window_strides=(sh, sw),
         padding=((ph, ph), (pw, pw)),
+        rhs_dilation=(dh, dw),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     h_out, w_out = yall.shape[1], yall.shape[2]
     yall = yall.reshape(n, d, h_out, w_out, k * cout)
-    d_out = d + 2 * pd - k + 1
+    d_out = d + 2 * pd - dd * (k - 1)
     yp = jnp.pad(yall, ((0, 0), (pd, pd), (0, 0), (0, 0), (0, 0)))
     y = None
     for dz in range(k):
-        part = yp[:, dz:dz + d_out, :, :, dz * cout:(dz + 1) * cout].astype(
-            jnp.float32
-        )
+        part = yp[
+            :, dz * dd : dz * dd + d_out, :, :, dz * cout : (dz + 1) * cout
+        ].astype(jnp.float32)
         y = part if y is None else y + part
     return y.astype(x.dtype)
 
@@ -221,3 +231,83 @@ def conv_transpose_matmul(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     y = y.reshape(n, d, h, w, kd, kh, kw, cout)
     y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # n d kd h kh w kw c
     return y.reshape(n, d * kd, h * kh, w * kw, cout).astype(x.dtype)
+
+
+def conv_transpose_phased(x: jnp.ndarray, kernel: jnp.ndarray, stride: Sequence[int]) -> jnp.ndarray:
+    """General strided ConvTranspose as ONE small dense conv + depth-to-space.
+
+    Produces the full 'VALID' transposed-conv output — numerically equal to
+
+        lax.conv_general_dilated(x, kernel, strides=1, lhs_dilation=stride,
+                                 padding=[(k-1, k-1)] * n)
+
+    (the route nn.blocks.TorchConvTranspose otherwise takes) but WITHOUT
+    input dilation: the output is split per subpixel phase r in [0, s)^n,
+    each phase being a tiny J+1 = ceil(k/s)-tap correlation of the
+    UNdilated input. All phases stack into the output-channel dim of one
+    conv with prod(s)*Cout channels (full MXU lanes), then a pixel
+    shuffle + fixed crop reassembles them.
+
+    Derivation (per dim, correlation orientation as stored): the dilated
+    route computes y[o] = sum_i x[i] K[i*s + k - 1 - o]. Writing
+    r = (k-1-o) mod s and q = (o - (k-1) + r)/s gives
+    y[o] = sum_j x[q+j] K[r + j*s] — a (J+1)-tap correlation where
+    J = floor((k-1)/s), with q in [-J, L_in). Phases are stored reversed
+    (r' = s-1-r) so o = (q+J)*s + r' - shift with shift = (J+1)*s - k,
+    making the reassembly one reshape-transpose + static slice.
+
+    Why: XLA's lhs_dilation lowering is catastrophic for large k/s (the
+    SkipDenseNet heads run k up to 18, s up to 16, at ONE output channel
+    per group — /root/reference/models/three_d/densenet3d.py:101-105);
+    here the same math runs as a dense 2^n-tap conv at input resolution.
+    Rank-generic (2-D and 3-D). Exact; autodiff transposes to the same
+    shapes.
+    """
+    n_sp = x.ndim - 2
+    k = tuple(kernel.shape[:n_sp])
+    s = tuple(stride)
+    cin, cout = kernel.shape[-2], kernel.shape[-1]
+    J = tuple((ki - 1) // si for ki, si in zip(k, s))
+
+    # phase kernel: pad K spatially to (J+1)*s, split taps t = j*s + r,
+    # reverse the r axes, fold (r'..., cout) into output channels
+    pads = [(0, (ji + 1) * si - ki) for ji, si, ki in zip(J, s, k)] + [(0, 0), (0, 0)]
+    kp = jnp.pad(kernel, pads)
+    split = []
+    for ji, si in zip(J, s):
+        split += [ji + 1, si]
+    kp = kp.reshape(*split, cin, cout)
+    # axes: [j1, r1, j2, r2, (j3, r3,) cin, cout] — reverse each r axis
+    kp = kp[(slice(None), slice(None, None, -1)) * n_sp]
+    j_axes = tuple(range(0, 2 * n_sp, 2))
+    r_axes = tuple(range(1, 2 * n_sp, 2))
+    kp = kp.transpose(j_axes + (2 * n_sp,) + r_axes + (2 * n_sp + 1,))
+    kp = kp.reshape(tuple(ji + 1 for ji in J) + (cin, -1))
+
+    spatial = "DHW"[3 - n_sp:]
+    dn = ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C")
+    z = jax.lax.conv_general_dilated(
+        x, kp.astype(x.dtype),
+        window_strides=(1,) * n_sp,
+        padding=[(ji, ji) for ji in J],
+        dimension_numbers=dn,
+    )  # [N, L+J ..., prod(s)*cout]
+
+    # pixel shuffle: [N, q1.., (r'1.., cout)] -> interleave r' into space
+    b = z.shape[0]
+    qs = z.shape[1 : 1 + n_sp]
+    z = z.reshape((b,) + qs + s + (cout,))
+    perm = [0]
+    for i in range(n_sp):
+        perm += [1 + i, 1 + n_sp + i]
+    z = z.transpose(perm + [1 + 2 * n_sp])
+    z = z.reshape((b,) + tuple(q * si for q, si in zip(qs, s)) + (cout,))
+
+    # crop shift = (J+1)*s - k from the start; VALID length (L_in-1)*s + k
+    idx = [slice(None)]
+    for i in range(n_sp):
+        shift = (J[i] + 1) * s[i] - k[i]
+        out_len = (x.shape[1 + i] - 1) * s[i] + k[i]
+        idx.append(slice(shift, shift + out_len))
+    idx.append(slice(None))
+    return z[tuple(idx)]

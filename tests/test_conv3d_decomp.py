@@ -168,7 +168,10 @@ def test_eligibility():
     assert eligible((3, 3, 3), (1, 1, 1), (1, 1, 1), 1)
     assert eligible((3, 3, 3), (2, 2, 2), (1, 1, 1), 1)
     assert not eligible((3, 3, 3), (4, 4, 4), (1, 1, 1), 1)  # csrnet _block_r
-    assert not eligible((3, 3, 3), (1, 1, 1), (2, 2, 2), 1)  # dilated (highresnet)
+    assert eligible((3, 3, 3), (1, 1, 1), (2, 2, 2), 1)  # dilated (highresnet)
+    assert eligible((3, 3, 3), (1, 1, 1), (4, 4, 4), 1)
+    assert not eligible((3, 3, 3), (2, 2, 2), (2, 2, 2), 1)  # dilated + strided
+    assert not eligible((3, 3, 3), (1, 1, 1), (1, 2, 2), 1)  # anisotropic dilation
     assert eligible((5, 5, 5), (1, 1, 1), (1, 1, 1), 1)  # vnet k5
     assert not eligible((3, 3, 3), (1, 1, 1), (1, 1, 1), 4)  # grouped (miniseg)
     assert not eligible((7, 7, 7), (1, 1, 1), (1, 1, 1), 1)
@@ -212,3 +215,148 @@ def test_torchconv_uses_decomp_and_matches_native(monkeypatch):
                                           "bias": variables["params"]["bias"]}}}
     y_native = m.apply(native_vars, x)
     np.testing.assert_allclose(np.asarray(y_decomp), np.asarray(y_native), atol=1e-4)
+
+
+def _dilated_transpose(x, kernel, stride):
+    n = x.ndim - 2
+    k = kernel.shape[:n]
+    spatial = "DHW"[3 - n:]
+    dn = ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C")
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1,) * n, [(ki - 1, ki - 1) for ki in k],
+        lhs_dilation=tuple(stride), dimension_numbers=dn,
+    )
+
+
+@pytest.mark.parametrize(
+    "k,stride",
+    [
+        ((2, 2, 2), (2, 2, 2)),    # unet up-conv (k == s)
+        ((4, 4, 4), (2, 2, 2)),    # densenet head k = s + 2
+        ((6, 6, 6), (4, 4, 4)),    # densenet deeper head
+        ((3, 3, 3), (2, 2, 2)),    # k odd, s even
+        ((2, 3, 4), (2, 2, 2)),    # anisotropic kernel
+        ((4, 4, 4), (2, 2, 1)),    # anisotropic stride incl. s=1 axis
+        ((1, 1, 1), (2, 2, 2)),    # k < s (zero-insertion upsample)
+    ],
+)
+def test_phased_transpose_matches_dilated_3d(k, stride):
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.conv3d import (
+        conv_transpose_phased,
+    )
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 5, 6, 7, 3)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=k + (3, 4)).astype(np.float32))
+    got = conv_transpose_phased(x, kernel, stride)
+    want = _dilated_transpose(x, kernel, stride)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_phased_transpose_matches_dilated_2d():
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.conv3d import (
+        conv_transpose_phased,
+    )
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 9, 8, 3)).astype(np.float32))
+    for k, s in (((4, 4), (2, 2)), ((16, 16), (8, 8)), ((3, 2), (2, 3))):
+        kernel = jnp.asarray(rng.normal(size=k + (3, 2)).astype(np.float32))
+        got = conv_transpose_phased(x, kernel, s)
+        want = _dilated_transpose(x, kernel, s)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_phased_transpose_gradients_match():
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.conv3d import (
+        conv_transpose_phased,
+    )
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(1, 4, 5, 4, 2)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(4, 4, 4, 2, 3)).astype(np.float32))
+    s = (2, 2, 2)
+    r = jnp.asarray(
+        rng.normal(size=conv_transpose_phased(x, kernel, s).shape).astype(np.float32)
+    )
+    gx_p, gk_p = jax.grad(
+        lambda xx, kk: jnp.sum(conv_transpose_phased(xx, kk, s) * r), argnums=(0, 1)
+    )(x, kernel)
+    gx_d, gk_d = jax.grad(
+        lambda xx, kk: jnp.sum(_dilated_transpose(xx, kk, s) * r), argnums=(0, 1)
+    )(x, kernel)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_d), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_d), rtol=1e-4, atol=1e-4)
+
+
+def test_torchconvtranspose_phased_routing_matches_native(monkeypatch):
+    """TorchConvTranspose must produce identical output through the phased
+    route and the lhs_dilation route, with the same param tree."""
+    from general_medical_image_segmentation_cnn_framework_tpu.nn.blocks import (
+        TorchConvTranspose,
+    )
+
+    x = jnp.asarray(
+        np.random.default_rng(10).normal(size=(1, 4, 4, 4, 3)).astype(np.float32)
+    )
+    m = TorchConvTranspose(features=2, kernel_size=4, stride=2)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    y_phased = m.apply(variables, x)
+    monkeypatch.setenv("GMIST_NATIVE_CONV3D", "1")
+    y_native = m.apply(variables, x)
+    assert y_phased.shape == y_native.shape
+    np.testing.assert_allclose(
+        np.asarray(y_phased), np.asarray(y_native), atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("dil", [2, 4])
+def test_tapgrouped_dilated_matches_native(dil):
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.conv3d import (
+        conv3d_tapgrouped,
+    )
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 12, 11, 12, 4)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 6)).astype(np.float32))
+    p = (dil, dil, dil)  # HighResNet keeps sizes: padding == dilation
+    got = conv3d_tapgrouped(x, kernel, (1, 1, 1), p, (dil, dil, dil))
+    want = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1, 1), tuple((pi, pi) for pi in p),
+        rhs_dilation=(dil, dil, dil),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_tapgrouped_dilated_gradients_match():
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.conv3d import (
+        conv3d_tapgrouped,
+    )
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 3)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 5)).astype(np.float32))
+    p = ((2, 2), (2, 2), (2, 2))
+    r = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 5)).astype(np.float32))
+    gx_t, gk_t = jax.grad(
+        lambda xx, kk: jnp.sum(
+            conv3d_tapgrouped(xx, kk, (1, 1, 1), (2, 2, 2), (2, 2, 2)) * r
+        ),
+        argnums=(0, 1),
+    )(x, kernel)
+    gx_n, gk_n = jax.grad(
+        lambda xx, kk: jnp.sum(
+            jax.lax.conv_general_dilated(
+                xx, kk, (1, 1, 1), p, rhs_dilation=(2, 2, 2),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+            * r
+        ),
+        argnums=(0, 1),
+    )(x, kernel)
+    np.testing.assert_allclose(np.asarray(gx_t), np.asarray(gx_n), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_t), np.asarray(gk_n), rtol=1e-4, atol=1e-4)
