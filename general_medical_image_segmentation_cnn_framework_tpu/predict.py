@@ -72,7 +72,9 @@ def predict(model=None, config=None, logger=None):
         model = build_model(config)
     if logger is None:
         logger = get_logger(config)
-    from .train import enable_compilation_cache
+    from .train import apply_platform, enable_compilation_cache
+
+    apply_platform(config)
 
     enable_compilation_cache(config)
 

@@ -42,6 +42,17 @@ from .ops.fft import band_split
 from .parallel.mesh import make_data_mesh, replicate, shard_batch
 
 
+def apply_platform(config) -> None:
+    """Honor ``config.platform`` (or ``GMIST_PLATFORM``): force the JAX
+    backend (cpu / tpu / ...) before its first use. Exists because a
+    deployment may pin a platform at interpreter start (sitecustomize);
+    the env var ``JAX_PLATFORMS`` is read once at import, so the runtime
+    switch must go through jax.config."""
+    plat = os.environ.get("GMIST_PLATFORM") or getattr(config, "platform", None)
+    if plat:
+        jax.config.update("jax_platforms", str(plat))
+
+
 def enable_compilation_cache(config) -> None:
     """Persistent XLA compilation cache: repeat runs skip the (minutes-long
     on remote transports) 3-D conv compiles. On by default; set
@@ -279,6 +290,7 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
 
     if getattr(config, "jax_debug_nans", False):
         jax.config.update("jax_debug_nans", True)
+    apply_platform(config)
     enable_compilation_cache(config)
 
     from .parallel.mesh import init_distributed

@@ -360,3 +360,20 @@ def test_to_canonical():
     rot = out.source.affine[:3, :3]
     assert np.all(np.diag(rot) > 0)  # RAS+ after reorient
     np.testing.assert_array_equal(out.source.data, src0[:, ::-1, ::-1, :])
+
+
+def test_patch_queue_workers_deterministic(tiny_config):
+    """num_workers must not change the patch stream: per-volume child RNGs
+    + in-order consumption make the pool path byte-identical to serial."""
+    import copy
+
+    serial_cfg = copy.deepcopy(tiny_config)
+    serial_cfg.num_workers = 1
+    pool_cfg = copy.deepcopy(tiny_config)
+    pool_cfg.num_workers = 3
+    serial = list(PatchQueueDataset(serial_cfg))
+    pooled = list(PatchQueueDataset(pool_cfg))
+    assert len(serial) == len(pooled)
+    for (xs, ys), (xp, yp) in zip(serial, pooled):
+        np.testing.assert_array_equal(xs, xp)
+        np.testing.assert_array_equal(ys, yp)
