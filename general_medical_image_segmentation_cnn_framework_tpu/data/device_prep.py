@@ -1,16 +1,21 @@
-"""Device-side patch sampling: crop + normalize on the TPU.
+"""Device-side patch sampling: crop + normalize (+ augment) on the TPU.
 
 The reference's pipeline crops and normalizes on the host and ships every
 patch over PCIe (10 patches/volume/epoch => the volume crosses the wire
-10x). Here each volume is placed in HBM ONCE (z-normalized on device) and
-every epoch's patches are gathered by a jitted vmapped ``dynamic_slice``
-with device-side RNG — host->device traffic drops from
-O(epochs * samples * patch^3) to O(dataset size).
+10x). Here each volume is placed in HBM ONCE and every epoch's patches
+are gathered by a jitted vmapped ``dynamic_slice`` with device-side RNG —
+host->device traffic drops from O(epochs * samples * patch^3) to
+O(dataset size).
 
-Enabled with ``config.data_backend=device``. Supports the standard
-aug=False path (ZNormalization only — BASELINE.json's "crop+normalize
-fused on-device"); random host-side augmentations need volume mutation per
-epoch, so aug=True falls back to the threaded backend.
+Enabled with ``config.data_backend=device``.
+
+* aug=False: volumes are z-normalized once at load (BASELINE.json's
+  "crop+normalize fused on-device").
+* aug=True: volumes stay RAW in HBM; each epoch every volume runs the
+  full training augmentation (data/device_aug.py — the tio stack as
+  jitted JAX ops) fused with the patch gather in ONE program, at its
+  TRUE shape. The ~0.65 s/volume of host scipy work becomes
+  milliseconds of device time, and zero bytes cross the wire per epoch.
 """
 
 from __future__ import annotations
@@ -56,15 +61,31 @@ def _sample_patches(src, gt, rng, patch_size, n):
     return x, y
 
 
+@partial(jax.jit, static_argnames=("patch_size", "n"))
+def _augment_and_sample(src, gt, rng, patch_size, n):
+    """Full augmentation + n-patch gather fused in one program.
+
+    src/gt: RAW channels-last [X, Y, Z, C] volumes at their true shape
+    (augmenting padded storage would skew the znorm statistics and pull
+    padding into border voxels — this path never pads).
+    """
+    from .device_aug import augment_pair
+
+    k_aug, k_patch = jax.random.split(rng)
+    src_cf = jnp.moveaxis(src, -1, 0)
+    gt_cf = jnp.moveaxis(gt, -1, 0)
+    src_cf, gt_cf = augment_pair(k_aug, src_cf, gt_cf)
+    return _sample_patches(
+        jnp.moveaxis(src_cf, 0, -1), jnp.moveaxis(gt_cf, 0, -1),
+        k_patch, patch_size, n,
+    )
+
+
 class DevicePatchDataset:
     """Iterable of on-device (x, y) batches; tio.Queue sampler semantics."""
 
     def __init__(self, config, is_train: bool = True):
-        if getattr(config, "aug", False) and is_train:
-            raise ValueError(
-                "data_backend=device supports the znorm-only path; "
-                "aug=true needs the threaded/grain backends"
-            )
+        self.aug = bool(getattr(config, "aug", False)) and is_train
         self.config = config
         pairs = get_subjects(config)
         if not pairs:
@@ -77,7 +98,9 @@ class DevicePatchDataset:
         self.seed = int(getattr(config, "seed", 0) or 0)
         self._epoch = 0
 
-        # one-time H2D: znormalized source + label, channels-last in HBM
+        # one-time H2D, channels-last in HBM: znormalized when aug is off,
+        # RAW when aug is on (the device aug pipeline includes znorm after
+        # the bias field, matching the host transform order)
         self.volumes: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
         for pair in pairs:
             subject = load_subject(pair)
@@ -85,7 +108,9 @@ class DevicePatchDataset:
             gt = jnp.asarray(
                 np.moveaxis(subject.gt.data, 0, -1).astype(np.float32)
             )
-            self.volumes.append((_znorm_device(src), gt))
+            if not self.aug:
+                src = _znorm_device(src)
+            self.volumes.append((src, gt))
 
     def __len__(self) -> int:
         return (len(self.volumes) * self.samples_per_volume) // self.batch_size
@@ -100,7 +125,8 @@ class DevicePatchDataset:
         for idx in order:
             src, gt = self.volumes[int(idx)]
             key, sub = jax.random.split(key)
-            x, y = _sample_patches(
+            sampler = _augment_and_sample if self.aug else _sample_patches
+            x, y = sampler(
                 src, gt, sub, self.patch_size, self.samples_per_volume
             )
             pending_x.append(x)

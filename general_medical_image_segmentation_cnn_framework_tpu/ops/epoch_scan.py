@@ -11,7 +11,8 @@ Heterogeneous volume shapes are supported: volumes are zero-padded to the
 per-dataset max extent for the stacked [V, X, Y, Z, C] HBM array, while
 patch origins are sampled from each volume's TRUE extent (identical
 sampler semantics to the queue path — a patch never reads padding).
-Augmentation must be off (device backend contract). Enabled with
+``config.aug=true`` folds the on-device augmentation pipeline into the
+same program (uniform-shape datasets only). Enabled with
 ``config.epoch_scan=true`` (+ ``data_backend=device``); per-step
 loss/dice come back as arrays and are logged after the epoch.
 """
@@ -73,11 +74,35 @@ def make_epoch_scan(config, model, tx, forward: Callable, loss_and_metric: Calla
 
     ``forward(variables, x, train, rngs, mutable)`` is the driver's
     network adapter; ``loss_and_metric(pred, gt) -> (loss, dice)``.
+
+    With ``config.aug=true`` the stored volumes are RAW and every epoch
+    re-augments each one on device (data/device_aug.py) before the step
+    scan — the whole augmented epoch remains ONE XLA program. Requires
+    uniform volume shapes (augmenting zero-padded storage would skew the
+    znorm statistics; train.py enforces this).
     """
     patch_size = tuple(config.patch_size)
+    aug = bool(getattr(config, "aug", False))
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def epoch_fn(params, batch_stats, opt_state, volumes, labels, vol_idx, origins, rng):
+        if aug:
+            from ..data.device_aug import augment_pair
+
+            rng, aug_rng = jax.random.split(rng)
+
+            def aug_one(pair_and_key):
+                src, gt, key = pair_and_key
+                s_cf, g_cf = augment_pair(
+                    key, jnp.moveaxis(src, -1, 0), jnp.moveaxis(gt, -1, 0)
+                )
+                return jnp.moveaxis(s_cf, 0, -1), jnp.moveaxis(g_cf, 0, -1)
+
+            keys = jax.random.split(aug_rng, volumes.shape[0])
+            # lax.map (not vmap): keeps the OneOf's lax.cond a real branch
+            # per volume instead of computing affine AND elastic for all
+            volumes, labels = jax.lax.map(aug_one, (volumes, labels, keys))
+
         def gather(store, idx, origin):
             vol = store[idx]
             return jax.lax.dynamic_slice(

@@ -360,6 +360,14 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
         # uniform patch sampler never reads padding (epoch_scan.py)
         true_shapes = np.asarray([v[0].shape[:3] for v in dataset.volumes])
         max_shape = tuple(int(s) for s in true_shapes.max(axis=0))
+        if dataset.aug and not (true_shapes == true_shapes[0]).all():
+            raise ValueError(
+                "epoch_scan with aug=true needs uniform volume shapes: the "
+                "on-device augmentation would skew znorm statistics on "
+                "zero-padded storage. Use data_backend=device without "
+                "epoch_scan (per-volume true-shape augmentation), or "
+                "resample the dataset to one shape."
+            )
 
         def _pad_to_max(a):
             pads = [(0, m - s) for m, s in zip(max_shape, a.shape[:3])]

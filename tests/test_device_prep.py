@@ -22,10 +22,33 @@ def test_device_batches(tiny_config):
     assert vals <= {0.0, 1.0}
 
 
-def test_device_backend_rejects_aug(tiny_config):
+def test_device_backend_augments_on_device(tiny_config):
+    """aug=true: volumes stored RAW, augmentation + patch gather fused on
+    device; batches are znormed (mean ~0 after the device znorm) and
+    labels stay binary; epochs differ (fresh augmentation per epoch)."""
     tiny_config.aug = True
-    with pytest.raises(ValueError):
-        DevicePatchDataset(tiny_config)
+    ds = DevicePatchDataset(tiny_config)
+    # raw storage: the stored source is NOT znormalized
+    src0 = np.asarray(ds.volumes[0][0])
+    assert abs(float(src0.mean())) > 1e-3 or float(src0.std()) != 1.0
+    e1 = list(ds)
+    e2 = list(ds)
+    assert len(e1) == len(ds)
+    x, y = e1[0]
+    assert x.shape == (2, 16, 16, 16, 1)
+    assert set(np.unique(np.asarray(y)).tolist()) <= {0.0, 1.0}
+    assert np.all(np.isfinite(np.asarray(x)))
+    assert not np.array_equal(np.asarray(e1[0][0]), np.asarray(e2[0][0]))
+
+
+def test_train_with_device_backend_aug(tiny_config):
+    from general_medical_image_segmentation_cnn_framework_tpu.train import train
+
+    tiny_config.data_backend = "device"
+    tiny_config.aug = True
+    result = train(tiny_config)
+    assert np.isfinite(result["loss"])
+    assert 0.0 <= result["dice"] <= 1.0
 
 
 def test_train_with_device_backend(tiny_config):

@@ -92,3 +92,43 @@ def test_train_with_epoch_scan_heterogeneous(tiny_config, tmp_path):
     tiny_config.epochs = 1
     result = train(tiny_config)
     assert np.isfinite(result["loss"])
+
+
+def test_train_with_epoch_scan_aug(tiny_config):
+    """aug=true folds the on-device augmentation into the epoch program."""
+    import numpy as np
+
+    from general_medical_image_segmentation_cnn_framework_tpu.train import train
+
+    tiny_config.data_backend = "device"
+    tiny_config.epoch_scan = True
+    tiny_config.aug = True
+    result = train(tiny_config)
+    assert np.isfinite(result["loss"])
+    assert 0.0 <= result["dice"] <= 1.0
+
+
+def test_epoch_scan_aug_rejects_heterogeneous(tiny_config, tmp_path):
+    import pytest
+
+    from general_medical_image_segmentation_cnn_framework_tpu.data.io import (
+        Volume, write_nifti,
+    )
+    from general_medical_image_segmentation_cnn_framework_tpu.train import train
+
+    rng = np.random.default_rng(11)
+    for i, shape in enumerate([(32, 32, 32), (24, 40, 20)]):
+        (tmp_path / "source").mkdir(exist_ok=True)
+        (tmp_path / "label").mkdir(exist_ok=True)
+        img = rng.normal(size=(1,) + shape).astype(np.float32)
+        lab = (img > 0.5).astype(np.float32)
+        write_nifti(tmp_path / "source" / f"v{i}.nii.gz", Volume(img))
+        write_nifti(tmp_path / "label" / f"v{i}.nii.gz", Volume(lab))
+
+    tiny_config.data_path = str(tmp_path / "source")
+    tiny_config.gt_path = str(tmp_path / "label")
+    tiny_config.data_backend = "device"
+    tiny_config.epoch_scan = True
+    tiny_config.aug = True
+    with pytest.raises(ValueError, match="uniform volume shapes"):
+        train(tiny_config)
