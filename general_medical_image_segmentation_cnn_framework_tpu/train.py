@@ -62,7 +62,22 @@ def enable_compilation_cache(config) -> None:
         return
     if jax.config.jax_compilation_cache_dir:
         return  # already configured (e.g. by the test harness) — keep it
-    jax.config.update("jax_compilation_cache_dir", os.path.expanduser(str(cache_dir)))
+    cache_dir = os.path.expanduser(str(cache_dir))
+    if jax.default_backend() == "cpu":
+        # XLA:CPU AOT executables embed the compiling host's CPU features
+        # and FAIL AT LOAD on a different machine ("Target machine feature
+        # ... is not supported"). Salt the dir per machine for CPU runs;
+        # TPU executables are keyed by device kind and are safe to share.
+        import hashlib
+        import platform as _platform
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next(l for l in f if l.startswith("flags"))
+        except (OSError, StopIteration):
+            flags = _platform.processor() or "unknown"
+        cache_dir += "_cpu_" + hashlib.sha1(flags.encode()).hexdigest()[:12]
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

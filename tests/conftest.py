@@ -25,8 +25,28 @@ import numpy as np
 import pytest
 
 # Persistent XLA compilation cache: 3-D conv compiles on CPU are slow; cache
-# them across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# them across test runs. Salt the directory with the host CPU's feature set:
+# these sessions hop between machines, and an AOT executable compiled with
+# another host's features fails at LOAD time mid-test ("Target machine
+# feature +prefer-no-gather is not supported on the host machine", observed
+# as a flaky JaxRuntimeError) — a per-machine dir makes reuse safe.
+import hashlib
+import platform
+
+
+def _machine_tag() -> str:
+    try:
+        flags = [
+            l for l in open("/proc/cpuinfo") if l.startswith("flags")
+        ][0]
+    except (OSError, IndexError):
+        flags = platform.processor() or "unknown"
+    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+
+
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/jax_test_cache_{_machine_tag()}"
+)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

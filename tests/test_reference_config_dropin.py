@@ -72,7 +72,8 @@ def test_reference_yaml_trains_one_epoch(
             "config.epochs=1",
             "config.samples_per_volume=4",
             "config.precision=float32",
-            "config.compilation_cache_dir=/tmp/jax_test_cache",
+            # no compilation_cache_dir override: conftest already set a
+            # per-machine salted cache (cross-machine AOT reuse fails at load)
         ],
         config_dir=reference_conf_dir,
         make_run_dir=True,
