@@ -138,3 +138,31 @@ def make_epoch_scan(config, model, tx, forward: Callable, loss_and_metric: Calla
         return params, batch_stats, opt_state, losses, dices
 
     return epoch_fn
+
+
+def place_epoch_store(mesh, volumes, labels):
+    """Replicate the stacked volume/label stores over the mesh: every
+    device gathers its own batch shard from a full local copy (the store
+    is read-only and any step may sample any volume)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    return jax.device_put(volumes, rep), jax.device_put(labels, rep)
+
+
+def shard_epoch_plan(mesh, vol_idx, origins):
+    """Data-parallel epoch_scan: shard the plan's per-step batch dim over
+    the mesh's ``data`` axis. Each device gathers and trains on its share
+    of every step's patches; GSPMD inserts the gradient / batch-global-BN
+    all-reduces, so the whole DP epoch is still ONE XLA program (the
+    reference's Accelerate-DDP loop re-dispatches per step,
+    /root/reference/train.py:167-214)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    vol_idx = jax.device_put(
+        jnp.asarray(vol_idx), NamedSharding(mesh, P(None, "data"))
+    )
+    origins = jax.device_put(
+        jnp.asarray(origins), NamedSharding(mesh, P(None, "data", None))
+    )
+    return vol_idx, origins

@@ -95,8 +95,20 @@ def make_data_mesh(mesh_shape: str, batch_size: int) -> Mesh:
     A batch that doesn't divide across every device (e.g. bs=2 on 8 chips)
     is sharded over the largest divisor instead — the remaining devices
     idle rather than erroring (DDP would do the same with fewer ranks).
+
+    An explicit spec smaller than the machine (e.g. ``data=1`` on 8
+    devices) runs on a device prefix — useful to pin a single-device run
+    or A/B a sharding against fewer chips.
     """
     devices = jax.devices()
+    if "-1" not in str(mesh_shape):
+        sizes = [
+            int(p.partition("=")[2])
+            for p in str(mesh_shape).split(",") if p.strip()
+        ]
+        total = int(np.prod(sizes)) if sizes else len(devices)
+        if 0 < total < len(devices):
+            devices = devices[:total]
     axes = parse_mesh_shape(mesh_shape, len(devices))
     if list(axes.keys()) == ["data"] and batch_size % axes["data"] != 0:
         import math
@@ -106,15 +118,19 @@ def make_data_mesh(mesh_shape: str, batch_size: int) -> Mesh:
     return make_mesh(mesh_shape, devices=devices)
 
 
-def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Place a host batch on the mesh, sharded along the leading (batch) dim.
+def shard_batch(mesh: Mesh, batch, axis: str = "data", dim: int = 0):
+    """Place a host batch on the mesh, sharded along dim (default: batch).
 
-    Proper TPU analogue of Accelerate's DDP scatter: the global batch lives
-    sharded across devices; XLA handles every collective after this point.
+    dim=0 is the proper TPU analogue of Accelerate's DDP scatter: the
+    global batch lives sharded across devices; XLA handles every
+    collective after this point. dim=1 shards the first SPATIAL axis
+    instead — volumes larger than one chip's HBM train whole, with GSPMD
+    inserting the conv halo exchanges over ICI (config.spatial_sharding).
     """
     def put(x):
-        spec = P(axis, *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        spec = [None] * x.ndim
+        spec[dim] = axis
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -311,10 +311,22 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
     from .parallel.mesh import init_distributed
 
     init_distributed(config)  # no-op single-process
-    mesh = make_data_mesh(
-        getattr(config, "mesh_shape", "data=-1"), int(config.batch_size)
+    # spatial_sharding: shard each batch's first SPATIAL axis over the
+    # mesh instead of the batch dim — whole-volume training for volumes
+    # bigger than one chip's HBM (GSPMD inserts the conv halo exchanges;
+    # the reference's only answer to memory is host-side patching,
+    # /root/reference/dataloader.py:65-67). The mesh then divides the
+    # spatial extent, not the batch size.
+    spatial_sharding = bool(getattr(config, "spatial_sharding", False))
+    mesh_extent = (
+        int(tuple(config.patch_size)[0]) if spatial_sharding
+        else int(config.batch_size)
     )
-    logger.info(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    mesh = make_data_mesh(getattr(config, "mesh_shape", "data=-1"), mesh_extent)
+    logger.info(
+        f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}"
+        + (" (spatial sharding)" if spatial_sharding else "")
+    )
 
     rng = jax.random.PRNGKey(int(getattr(config, "seed", 0) or 0))
     params, batch_stats, opt_state, tx = init_train_state(config, model, rng)
@@ -367,6 +379,10 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
         assert isinstance(dataset, DevicePatchDataset), (
             "epoch_scan requires data_backend=device"
         )
+        assert not spatial_sharding, (
+            "epoch_scan shards the per-step batch over the mesh; combine "
+            "spatial_sharding with the per-step loop instead"
+        )
         assert int(config.out_classes) == 2 and (
             getattr(config, "loss", "bce") or "bce"
         ) == "bce", "epoch_scan supports the binary BCE criterion"
@@ -392,6 +408,24 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
 
         volumes_dev = jnp.stack([_pad_to_max(v[0]) for v in dataset.volumes])
         labels_dev = jnp.stack([_pad_to_max(v[1]) for v in dataset.volumes])
+        # data-parallel epoch_scan: batch dim sharded over the mesh's
+        # data axis (make_data_mesh guarantees divisibility for pure-data
+        # meshes; skip sharding otherwise)
+        scan_mesh = None
+        if (
+            "data" in mesh.axis_names
+            and mesh.shape["data"] > 1
+            and dataset.batch_size % mesh.shape["data"] == 0
+        ):
+            from .ops.epoch_scan import place_epoch_store
+
+            scan_mesh = mesh
+            volumes_dev, labels_dev = place_epoch_store(
+                mesh, volumes_dev, labels_dev
+            )
+            logger.info(
+                f"epoch_scan: data-parallel over {mesh.shape['data']} devices"
+            )
         forward = make_forward(config, model)
 
         def loss_and_metric(pred, gt):
@@ -434,10 +468,16 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
                 dataset.batch_size, spatial_shape, config.patch_size, plan_rng,
             )
             rng, epoch_rng = jax.random.split(rng)
+            if scan_mesh is not None:
+                from .ops.epoch_scan import shard_epoch_plan
+
+                vol_idx, origins = shard_epoch_plan(scan_mesh, vol_idx, origins)
+            else:
+                vol_idx, origins = jnp.asarray(vol_idx), jnp.asarray(origins)
             t0 = time.time()
             params, batch_stats, opt_state, losses, dices = epoch_fn(
                 params, batch_stats, opt_state, volumes_dev, labels_dev,
-                jnp.asarray(vol_idx), jnp.asarray(origins), epoch_rng,
+                vol_idx, origins, epoch_rng,
             )
             losses_np = np.asarray(losses)
             dices_np = np.asarray(dices)
@@ -480,7 +520,10 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
             load_start = time.time()
             pending = None
             for i, (x_np, y_np) in enumerate(dataset):
-                batch = shard_batch(mesh, {"x": x_np, "y": y_np})
+                batch = shard_batch(
+                    mesh, {"x": x_np, "y": y_np},
+                    dim=1 if spatial_sharding else 0,
+                )
                 load_time = time.time() - load_start
                 step_start = time.time()
                 rng, step_rng = jax.random.split(rng)

@@ -109,3 +109,28 @@ def test_gspmd_spatial_sharded_train_step_matches():
     (l0, d0), (l1, d1) = results
     assert abs(l0 - l1) < 1e-5
     assert abs(d0 - d1) < 1e-5
+
+
+def test_train_cli_spatial_sharding_matches(tiny_config, tmp_path):
+    """config.spatial_sharding=true shards each batch's first spatial axis
+    over the mesh (whole-volume training for bigger-than-HBM volumes);
+    the trajectory must match unsharded training — GSPMD's halo exchanges
+    are layout, not semantics."""
+    import numpy as np
+
+    from general_medical_image_segmentation_cnn_framework_tpu.train import train
+
+    results = {}
+    for name, flag in (("plain", False), ("spatial", True)):
+        tiny_config.spatial_sharding = flag
+        tiny_config.mesh_shape = "data=-1"
+        (tmp_path / name).mkdir(exist_ok=True)
+        tiny_config.hydra_path = str(tmp_path / name)
+        results[name] = train(tiny_config)
+
+    np.testing.assert_allclose(
+        results["spatial"]["loss"], results["plain"]["loss"], rtol=1e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        results["spatial"]["dice"], results["plain"]["dice"], rtol=1e-3, atol=1e-6
+    )
