@@ -179,9 +179,13 @@ def random_affine_pair(
 
 @lru_cache(maxsize=None)
 def _bspline_bases(shape: Tuple[int, int, int], num_cp: int):
-    """Static per-axis cubic B-spline basis matrices (tiny numpy constants)."""
+    """Static per-axis cubic B-spline basis matrices (tiny numpy constants).
+
+    MUST cache numpy, never jnp: jnp.asarray under an active trace returns
+    a tracer, and an lru_cache that captures one poisons every later trace
+    with an UnexpectedTracerError (order-dependent suite failure, r3)."""
     return tuple(
-        jnp.asarray(_bspline_axis_matrix(s, num_cp), jnp.float32) for s in shape
+        np.asarray(_bspline_axis_matrix(s, num_cp), np.float32) for s in shape
     )
 
 

@@ -159,3 +159,34 @@ def test_augment_pair_jits_and_is_sane(pair):
     b = fn(jax.random.PRNGKey(1), jnp.asarray(src), jnp.asarray(gt))
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     assert not np.array_equal(np.asarray(a[0]), np.asarray(out_src))
+
+
+def test_bspline_cache_safe_across_traces():
+    """Regression: _bspline_bases is lru_cached and must cache numpy — a
+    jnp value created during one jit trace poisons every later trace with
+    an UnexpectedTracerError (observed order-dependently in the full
+    suite, r3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from general_medical_image_segmentation_cnn_framework_tpu.data import device_aug
+
+    device_aug._bspline_bases.cache_clear()
+    src = jnp.zeros((1, 12, 12, 12))
+    gt = jnp.zeros((1, 12, 12, 12))
+
+    @jax.jit
+    def first(k, s, g):
+        return device_aug.random_elastic_pair(k, s, g)
+
+    first(jax.random.PRNGKey(0), src, gt)  # populates the cache IN-TRACE
+    for leaf in device_aug._bspline_bases((12, 12, 12), 7):
+        assert isinstance(leaf, np.ndarray), type(leaf)
+
+    @jax.jit  # a second, separate trace must not see a dead tracer
+    def second(k, s, g):
+        return device_aug.random_elastic_pair(k, s, g)
+
+    out, _ = second(jax.random.PRNGKey(1), src, gt)
+    assert np.all(np.isfinite(np.asarray(out)))
