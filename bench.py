@@ -246,26 +246,23 @@ def _ensure_live_backend(probe_timeout: int = 180) -> str:
     round still records an artifact (flagged via the returned platform).
     ``GMIST_PLATFORM`` skips the probe and forces a backend directly."""
     import os
-    import subprocess
+
+    from general_medical_image_segmentation_cnn_framework_tpu.utils.machine import (
+        probe_device_count,
+    )
 
     forced = os.environ.get("GMIST_PLATFORM")
     if forced:
         jax.config.update("jax_platforms", forced)
         return forced
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=probe_timeout, check=True,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        )
+    if probe_device_count(timeout=probe_timeout) is not None:
         return jax.default_backend()
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
-        print(
-            f"[bench] device backend probe failed ({type(e).__name__}); "
-            "falling back to CPU", file=sys.stderr,
-        )
-        jax.config.update("jax_platforms", "cpu")
-        return "cpu-fallback"
+    print(
+        "[bench] device backend probe failed (wedged transport?); "
+        "falling back to CPU", file=sys.stderr,
+    )
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu-fallback"
 
 
 def main() -> None:

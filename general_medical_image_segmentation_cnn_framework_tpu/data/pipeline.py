@@ -155,20 +155,31 @@ class PatchQueueDataset:
         children = np.random.SeedSequence(
             (self.seed, self._epoch - 1, 0xA46)
         ).spawn(len(order))
+        def put(item) -> bool:
+            # stop-aware put: never block forever on a full queue whose
+            # consumer already exited (it only sets `stop` in its finally)
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.5)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
         try:
             if self.num_workers <= 1:
                 for pos, idx in enumerate(order):
                     if stop.is_set():
                         return
                     for p in self._patches_for(int(idx), np.random.default_rng(children[pos])):
-                        if stop.is_set():
+                        if not put(p):
                             return
-                        out_q.put(p)
             else:
                 from collections import deque
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                pool = ThreadPoolExecutor(max_workers=self.num_workers)
+                try:
                     pending: deque = deque()
                     nxt = 0
 
@@ -176,7 +187,11 @@ class PatchQueueDataset:
                         nonlocal nxt
                         # bounded prefetch: at most num_workers+1 transformed
                         # volumes in flight (memory stays O(workers))
-                        while nxt < len(order) and len(pending) <= self.num_workers:
+                        while (
+                            not stop.is_set()
+                            and nxt < len(order)
+                            and len(pending) <= self.num_workers
+                        ):
                             pending.append(
                                 pool.submit(
                                     self._patches_for,
@@ -188,17 +203,23 @@ class PatchQueueDataset:
 
                     top_up()
                     while pending:  # consume in submission order: deterministic
+                        if stop.is_set():
+                            return
                         fut = pending.popleft()
                         patches = fut.result()
                         top_up()
                         for p in patches:
-                            if stop.is_set():
+                            if not put(p):
                                 return
-                            out_q.put(p)
+                finally:
+                    # don't block on in-flight volume transforms when the
+                    # consumer aborted mid-epoch; cancel whatever hasn't
+                    # started (a `with` block would wait for everything)
+                    pool.shutdown(wait=False, cancel_futures=True)
         except BaseException as exc:  # surface producer failures to the consumer
-            out_q.put(exc)
+            put(exc)
         finally:
-            out_q.put(None)  # sentinel
+            put(None)  # sentinel (skipped if the consumer already stopped)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         rng = np.random.default_rng(self.seed + self._epoch)

@@ -68,15 +68,9 @@ def enable_compilation_cache(config) -> None:
         # and FAIL AT LOAD on a different machine ("Target machine feature
         # ... is not supported"). Salt the dir per machine for CPU runs;
         # TPU executables are keyed by device kind and are safe to share.
-        import hashlib
-        import platform as _platform
+        from .utils.machine import machine_tag
 
-        try:
-            with open("/proc/cpuinfo") as f:
-                flags = next(l for l in f if l.startswith("flags"))
-        except (OSError, StopIteration):
-            flags = _platform.processor() or "unknown"
-        cache_dir += "_cpu_" + hashlib.sha1(flags.encode()).hexdigest()[:12]
+        cache_dir += "_cpu_" + machine_tag()
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -30,22 +30,12 @@ import pytest
 # another host's features fails at LOAD time mid-test ("Target machine
 # feature +prefer-no-gather is not supported on the host machine", observed
 # as a flaky JaxRuntimeError) — a per-machine dir makes reuse safe.
-import hashlib
-import platform
-
-
-def _machine_tag() -> str:
-    try:
-        flags = [
-            l for l in open("/proc/cpuinfo") if l.startswith("flags")
-        ][0]
-    except (OSError, IndexError):
-        flags = platform.processor() or "unknown"
-    return hashlib.sha1(flags.encode()).hexdigest()[:12]
-
+from general_medical_image_segmentation_cnn_framework_tpu.utils.machine import (
+    machine_tag,
+)
 
 jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/jax_test_cache_{_machine_tag()}"
+    "jax_compilation_cache_dir", f"/tmp/jax_test_cache_{machine_tag()}"
 )
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
