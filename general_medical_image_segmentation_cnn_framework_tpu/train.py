@@ -178,25 +178,56 @@ def make_loss_fn(config) -> Callable:
     raise KeyError(f"unknown loss '{name}' (bce | dice | focal | bce+dice)")
 
 
-def make_train_step(config, model, tx) -> Callable:
-    forward = make_forward(config, model)
-    # Fused loss+metric: one pass for one-hot construction, BCE, argmax and
-    # dice counts (ops/fused.py; Pallas opt-in via GMIST_PALLAS_FUSED).
-    # Valid for the reference's default binary BCE criterion; generic path
-    # for other losses / class counts.
+def make_loss_and_metric(config) -> Callable:
+    """(pred, gt) -> (loss, dice) for the configured criterion.
+
+    Shared by the per-step train_step AND the whole-epoch scan path so
+    every criterion works in both loops:
+
+    * binary BCE (the reference's only active loss, train.py:115): fused
+      one-pass loss+metric kernel (ops/fused.py; Pallas opt-in via
+      GMIST_PALLAS_FUSED)
+    * out_classes > 2: softmax cross-entropy on integer labels +
+      foreground dice — the reference's BCE-on-(bg,fg) one-hot
+      construction only supports binary (train.py:191-193 would shape-
+      mismatch); capability extension
+    * any other configured loss (dice / focal / bce+dice / ce):
+      one-hot + criterion + argmax dice, reference step semantics
+      (train.py:191-221)
+    """
     loss_name = getattr(config, "loss", "bce") or "bce"
     n_classes = int(config.out_classes)
     use_fused = n_classes == 2 and loss_name == "bce"
-    # Multi-class (out_classes > 2): softmax cross-entropy on integer
-    # labels + foreground dice. The reference's BCE-on-(bg,fg) one-hot
-    # construction only supports binary (train.py:191-193 would shape-
-    # mismatch); this is a capability extension.
     multiclass = n_classes > 2
     criterion = make_loss_fn(config) if not multiclass else None
 
+    def loss_and_metric(pred, gt):
+        if use_fused:
+            loss, _, dice = fused_bce_dice_metrics(pred, gt)
+            return loss, dice
+        if multiclass:
+            labels = gt[..., 0].astype(jnp.int32)
+            loss = cross_entropy(pred, labels)
+            mask = jnp.argmax(pred, axis=-1)
+            _, dice = dice_jaccard(labels > 0, mask > 0)  # foreground dice
+            return loss, dice
+        gt2 = one_hot_background(gt)  # (train.py:191-193)
+        loss = criterion(pred, gt2)
+        mask = jnp.argmax(pred, axis=-1)  # (train.py:204)
+        gt_idx = jnp.argmax(gt2, axis=-1)  # (train.py:221)
+        _, dice = dice_jaccard(gt_idx, mask)
+        return loss, dice
+
+    return loss_and_metric
+
+
+def make_train_step(config, model, tx) -> Callable:
+    forward = make_forward(config, model)
+    loss_and_metric = make_loss_and_metric(config)
+
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, x, gt, rng):
-        """x: [B, D, H, W, C]; gt: [B, D, H, W, 1] binary."""
+        """x: [B, D, H, W, C]; gt: [B, D, H, W, 1] binary (or int labels)."""
 
         def loss_fn(p):
             variables = {"params": p, "batch_stats": batch_stats}
@@ -204,20 +235,7 @@ def make_train_step(config, model, tx) -> Callable:
                 variables, x, True, {"dropout": rng}, ["batch_stats"]
             )
             new_stats = updates.get("batch_stats", batch_stats)
-            if use_fused:
-                loss, jaccard, dice = fused_bce_dice_metrics(pred, gt)
-                return loss, (dice, new_stats)
-            if multiclass:
-                labels = gt[..., 0].astype(jnp.int32)
-                loss = cross_entropy(pred, labels)
-                mask = jnp.argmax(pred, axis=-1)
-                _, dice = dice_jaccard(labels > 0, mask > 0)  # foreground dice
-                return loss, (dice, new_stats)
-            gt2 = one_hot_background(gt)  # (train.py:191-193)
-            loss = criterion(pred, gt2)
-            mask = jnp.argmax(pred, axis=-1)  # (train.py:204)
-            gt_idx = jnp.argmax(gt2, axis=-1)  # (train.py:221)
-            _, dice = dice_jaccard(gt_idx, mask)
+            loss, dice = loss_and_metric(pred, gt)
             return loss, (dice, new_stats)
 
         (loss, (dice, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -377,9 +395,9 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
             "epoch_scan shards the per-step batch over the mesh; combine "
             "spatial_sharding with the per-step loop instead"
         )
-        assert int(config.out_classes) == 2 and (
-            getattr(config, "loss", "bce") or "bce"
-        ) == "bce", "epoch_scan supports the binary BCE criterion"
+        # every configured criterion works here: the scan shares
+        # make_loss_and_metric with the per-step loop (bce fused kernel,
+        # dice/focal/bce+dice, multiclass CE)
         # heterogeneous shapes: zero-pad storage to the max extent; the
         # epoch plan samples origins from each volume's TRUE extent so the
         # uniform patch sampler never reads padding (epoch_scan.py)
@@ -421,12 +439,9 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
                 f"epoch_scan: data-parallel over {mesh.shape['data']} devices"
             )
         forward = make_forward(config, model)
-
-        def loss_and_metric(pred, gt):
-            loss, _, dice = fused_bce_dice_metrics(pred, gt)
-            return loss, dice
-
-        epoch_fn = make_epoch_scan(config, model, tx, forward, loss_and_metric)
+        epoch_fn = make_epoch_scan(
+            config, model, tx, forward, make_loss_and_metric(config)
+        )
         plan_rng = np.random.default_rng(int(getattr(config, "seed", 0) or 0))
         spatial_shape = true_shapes  # per-volume true extents
 

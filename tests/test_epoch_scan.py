@@ -159,3 +159,16 @@ def test_epoch_scan_data_parallel_matches_single_device(tiny_config, tmp_path):
     np.testing.assert_allclose(
         results["dp"]["dice"], results["single"]["dice"], rtol=1e-3, atol=1e-6
     )
+
+
+def test_epoch_scan_with_dice_loss(tiny_config):
+    """Non-default criteria run through the epoch scan (shared
+    make_loss_and_metric)."""
+    from general_medical_image_segmentation_cnn_framework_tpu.train import train
+
+    tiny_config.data_backend = "device"
+    tiny_config.epoch_scan = True
+    tiny_config.loss = "bce+dice"
+    result = train(tiny_config)
+    assert np.isfinite(result["loss"])
+    assert 0.0 <= result["dice"] <= 1.0

@@ -95,3 +95,18 @@ def test_multiclass_train_and_predict(mc_config):
 
     mask = read_volume(sorted((run_dir / "pred_file").glob("*.nii.gz"))[0])
     assert set(np.unique(mask.data).tolist()) <= {0.0, 1.0, 2.0}
+
+
+def test_multiclass_epoch_scan(mc_config):
+    """The whole-epoch scan shares make_loss_and_metric with the per-step
+    loop, so multiclass CE trains through it too (the r2 scan was
+    BCE-only)."""
+    from general_medical_image_segmentation_cnn_framework_tpu.train import train
+
+    Path(mc_config.output_dir).mkdir(parents=True, exist_ok=True)
+    mc_config.hydra_path = mc_config.output_dir
+    mc_config.data_backend = "device"
+    mc_config.epoch_scan = True
+    result = train(mc_config)
+    assert np.isfinite(result["loss"])
+    assert 0.0 <= result["dice"] <= 1.0
