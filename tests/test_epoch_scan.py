@@ -172,3 +172,28 @@ def test_epoch_scan_with_dice_loss(tiny_config):
     result = train(tiny_config)
     assert np.isfinite(result["loss"])
     assert 0.0 <= result["dice"] <= 1.0
+
+
+def test_epoch_scan_is_model(tiny_config):
+    """IS (FFT band-split inputs, tuple output trained on out1) composes
+    with the whole-epoch scan — make_forward handles the quirk in-graph."""
+    from general_medical_image_segmentation_cnn_framework_tpu.train import train
+
+    tiny_config.network = "IS"
+    tiny_config.data_backend = "device"
+    tiny_config.epoch_scan = True
+    result = train(tiny_config)
+    assert np.isfinite(result["loss"])
+
+
+def test_epoch_scan_2d_network(tiny_config):
+    """2-D nets (depth-1 slice adapter) run through the scan: the device
+    patch gather samples (1, H, W) patches from the 3-D volumes."""
+    from general_medical_image_segmentation_cnn_framework_tpu.train import train
+
+    tiny_config.network = "unet2d"
+    tiny_config.patch_size = (1, 16, 16)
+    tiny_config.data_backend = "device"
+    tiny_config.epoch_scan = True
+    result = train(tiny_config)
+    assert np.isfinite(result["loss"])
