@@ -68,7 +68,10 @@ def build_epoch_plan(
     )
 
 
-def make_epoch_scan(config, model, tx, forward: Callable, loss_and_metric: Callable):
+def make_epoch_scan(
+    config, model, tx, forward: Callable, loss_and_metric: Callable,
+    spatial_mesh=None,
+):
     """Returns jitted ``epoch_fn(params, batch_stats, opt_state, volumes,
     labels, vol_idx, origins, rng) -> (params, stats, opt, losses, dices)``.
 
@@ -80,9 +83,23 @@ def make_epoch_scan(config, model, tx, forward: Callable, loss_and_metric: Calla
     scan — the whole augmented epoch remains ONE XLA program. Requires
     uniform volume shapes (augmenting zero-padded storage would skew the
     znorm statistics; train.py enforces this).
+
+    ``spatial_mesh``: shard every gathered patch's first SPATIAL axis over
+    that mesh's ``data`` axis (config.spatial_sharding) — the scale-out
+    story for bs=1 whole-patch/whole-volume epochs where there is no batch
+    dim to shard; GSPMD inserts the conv halo exchanges. Mutually
+    exclusive with shard_epoch_plan's batch sharding.
     """
     patch_size = tuple(config.patch_size)
     aug = bool(getattr(config, "aug", False))
+    if spatial_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        patch_sharding = NamedSharding(
+            spatial_mesh, P(None, "data", None, None, None)
+        )
+    else:
+        patch_sharding = None
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def epoch_fn(params, batch_stats, opt_state, volumes, labels, vol_idx, origins, rng):
@@ -115,6 +132,9 @@ def make_epoch_scan(config, model, tx, forward: Callable, loss_and_metric: Calla
             idxs, origs = inputs
             x = jax.vmap(partial(gather, volumes))(idxs, origs)
             y = jax.vmap(partial(gather, labels))(idxs, origs)
+            if patch_sharding is not None:
+                x = jax.lax.with_sharding_constraint(x, patch_sharding)
+                y = jax.lax.with_sharding_constraint(y, patch_sharding)
             rng, step_rng = jax.random.split(rng)
 
             def loss_fn(p):

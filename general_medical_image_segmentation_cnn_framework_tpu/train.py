@@ -391,10 +391,6 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
         assert isinstance(dataset, DevicePatchDataset), (
             "epoch_scan requires data_backend=device"
         )
-        assert not spatial_sharding, (
-            "epoch_scan shards the per-step batch over the mesh; combine "
-            "spatial_sharding with the per-step loop instead"
-        )
         # every configured criterion works here: the scan shares
         # make_loss_and_metric with the per-step loop (bce fused kernel,
         # dice/focal/bce+dice, multiclass CE)
@@ -422,10 +418,13 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
         labels_dev = jnp.stack([_pad_to_max(v[1]) for v in dataset.volumes])
         # data-parallel epoch_scan: batch dim sharded over the mesh's
         # data axis (make_data_mesh guarantees divisibility for pure-data
-        # meshes; skip sharding otherwise)
+        # meshes; skip sharding otherwise). With spatial_sharding the
+        # mesh divides the patch's first spatial dim instead, via a
+        # sharding constraint inside the scan (make_epoch_scan).
         scan_mesh = None
         if (
-            "data" in mesh.axis_names
+            not spatial_sharding
+            and "data" in mesh.axis_names
             and mesh.shape["data"] > 1
             and dataset.batch_size % mesh.shape["data"] == 0
         ):
@@ -440,8 +439,14 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
             )
         forward = make_forward(config, model)
         epoch_fn = make_epoch_scan(
-            config, model, tx, forward, make_loss_and_metric(config)
+            config, model, tx, forward, make_loss_and_metric(config),
+            spatial_mesh=mesh if spatial_sharding else None,
         )
+        if spatial_sharding:
+            logger.info(
+                f"epoch_scan: patches spatially sharded over "
+                f"{mesh.shape['data']} devices"
+            )
         plan_rng = np.random.default_rng(int(getattr(config, "seed", 0) or 0))
         spatial_shape = true_shapes  # per-volume true extents
 

@@ -197,3 +197,26 @@ def test_epoch_scan_2d_network(tiny_config):
     tiny_config.epoch_scan = True
     result = train(tiny_config)
     assert np.isfinite(result["loss"])
+
+
+def test_epoch_scan_spatial_sharding_matches(tiny_config, tmp_path):
+    """spatial_sharding composes with epoch_scan: every gathered patch's
+    first spatial axis shards over the mesh inside the one-program epoch
+    (the bs=1 scale-out story); trajectory == unsharded."""
+    from general_medical_image_segmentation_cnn_framework_tpu.train import train
+
+    results = {}
+    for name, flag in (("plain", False), ("spatial", True)):
+        tiny_config.data_backend = "device"
+        tiny_config.epoch_scan = True
+        tiny_config.spatial_sharding = flag
+        (tmp_path / name).mkdir(exist_ok=True)
+        tiny_config.hydra_path = str(tmp_path / name)
+        results[name] = train(tiny_config)
+
+    np.testing.assert_allclose(
+        results["spatial"]["loss"], results["plain"]["loss"], rtol=1e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        results["spatial"]["dice"], results["plain"]["dice"], rtol=1e-3, atol=1e-6
+    )
