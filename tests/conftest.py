@@ -101,7 +101,8 @@ def tiny_config(synthetic_dataset, tmp_path):
             "config.samples_per_volume=4",
             "config.precision=float32",
             "config.patch_overlap=4, 4, 4",
-            "config.compilation_cache_dir=/tmp/jax_test_cache",
+            # no compilation_cache_dir: conftest already configured the
+            # per-machine salted cache, and the driver keeps a pre-set dir
         ],
         job_name="train",
         make_run_dir=True,
