@@ -145,16 +145,18 @@ class PatchQueueDataset:
             patches.append((x, y))
         return patches
 
-    def _produce(self, out_q: queue_mod.Queue, rng: np.random.Generator, stop: threading.Event):
+    def _produce(self, out_q: queue_mod.Queue, rng: np.random.Generator, stop: threading.Event, epoch: int):
         """Volume order comes from the epoch rng; each volume's transform +
         patch draws use a per-volume child generator (SeedSequence spawn), so
         the stream is deterministic whether volumes are processed serially or
         by a worker pool (config.num_workers > 1), and output order is always
         the shuffled volume order."""
         order = rng.permutation(len(self.pairs))
-        children = np.random.SeedSequence(
-            (self.seed, self._epoch - 1, 0xA46)
-        ).spawn(len(order))
+        # `epoch` is captured by __iter__ BEFORE it bumps self._epoch and
+        # passed in as an argument: re-reading the mutable attribute here
+        # raced with a consumer that abandons one iterator and immediately
+        # starts the next (duplicate augmentation streams; ADVICE r3).
+        children = np.random.SeedSequence((self.seed, epoch, 0xA46)).spawn(len(order))
         def put(item) -> bool:
             # stop-aware put: never block forever on a full queue whose
             # consumer already exited (it only sets `stop` in its finally)
@@ -222,7 +224,8 @@ class PatchQueueDataset:
             put(None)  # sentinel (skipped if the consumer already stopped)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        rng = np.random.default_rng(self.seed + self._epoch)
+        epoch = self._epoch
+        rng = np.random.default_rng(self.seed + epoch)
         self._epoch += 1
         # queue_length counts buffered patches, matching tio.Queue's
         # max_length semantics (dataloader.py:56); keep at least one batch.
@@ -231,7 +234,7 @@ class PatchQueueDataset:
         )
         stop = threading.Event()
         producer = threading.Thread(
-            target=self._produce, args=(out_q, rng, stop), daemon=True
+            target=self._produce, args=(out_q, rng, stop, epoch), daemon=True
         )
         producer.start()
         try:

@@ -8,16 +8,16 @@ state into the Flax zoo, and assert fp32 logits parity. A misread
 architecture quirk cannot pass here: the oracle is upstream's executable
 source itself.
 
-Covered — 21 direct oracles, every reference model except vt_unet:
+Covered — 22 direct oracles, every reference model:
 3-D: unet3d, csrnet, IS, densevoxelnet3d, densenet3d, highresnet, vnet3d,
 residual_unet3d, ER_net, RE_net, unetr (whole model), fcn3d, Double_Unet,
 FusionNet (the last two via import stubs for their unused
-torchvision/thop imports)
+torchvision/thop imports), vt_unet (whole model at the real 128^3
+geometry, mmcv import stubbed; block-level mirrors also live in
+test_torch_parity_zoo.py)
 2-D: unet, segnet, deeplab, pspnet, miniseg, fcn (FCN32s, `fcn`-package
 import stubbed), unetpp (reference decoder vs a faithful public-resnet34
 encoder stub)
-mmcv-blocked: vt_unet keeps its block-level mirror tests
-(test_torch_parity_zoo.py) — its module cannot import without mmcv.
 """
 
 import importlib
