@@ -67,7 +67,7 @@ def bench_train(network="unet", patch=128, n_steps=10, bs=1):
     return bs * n_steps / (time.perf_counter() - t0)
 
 
-def bench_inference(network="unet", n_volumes=7, vol_shape=(256, 256, 128), patch=128, batch_size=1):
+def bench_inference(network="unet", n_volumes=7, vol_shape=(256, 256, 128), patch=128, batch_size=1, overlap=None):
     # batch_size=1 measured fastest at 128^3 on v5e (larger tiles batches
     # regress XLA layouts; see BASELINE.md r2 notes)
     from general_medical_image_segmentation_cnn_framework_tpu.models import build_model
@@ -84,7 +84,8 @@ def bench_inference(network="unet", n_volumes=7, vol_shape=(256, 256, 128), patc
     variables = {"params": params, "batch_stats": stats}
     forward = make_forward_fn(config, model)
     vol = np.random.default_rng(0).normal(size=(1,) + tuple(vol_shape)).astype(np.float32)
-    overlap = tuple(min(4, patch - 1) for _ in range(2)) + (min(36, patch - 1),)
+    if overlap is None:
+        overlap = tuple(min(4, patch - 1) for _ in range(2)) + (min(36, patch - 1),)
 
     sliding_window_predict(forward, variables, vol, (patch,) * 3, overlap, batch_size=batch_size)
     times = []
@@ -267,16 +268,58 @@ def _ensure_live_backend(probe_timeout: int = 180) -> str:
 
 def main() -> None:
     platform = _ensure_live_backend()
+    # Persistent XLA compile cache (same dir + per-machine CPU salt as the
+    # CLI drivers): without it a cold CPU fallback spends its entire budget
+    # compiling 3-D convs (the r3 artifact died that way, rc=124).
+    from types import SimpleNamespace
+
+    from general_medical_image_segmentation_cnn_framework_tpu.train import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache(SimpleNamespace())
     n_dev = len(jax.devices())
     cpu_fb = platform.startswith("cpu")
-    # CPU fallback: keep every shape honest but cut repeat counts — the
-    # artifact is flagged via "platform" and not baseline-comparable anyway,
-    # and 256^3 whole-volume steps take minutes each on a host CPU.
-    vols_per_min = bench_inference(n_volumes=2 if cpu_fb else 7)
+    # CPU fallback: the artifact is flagged via "platform" and is not
+    # baseline-comparable, so its one job is to EXIST — shrink shapes and
+    # counts until the whole run finishes in ~2 min (VERDICT r3 #2: the r3
+    # fallback kept honest 256^3 shapes and timed out at 0.01 patches/s,
+    # losing the primary line entirely).
+    if cpu_fb:
+        vol_shape, patch, ovl = (64, 64, 64), 32, (4, 4, 4)
+        vols_per_min = bench_inference(
+            n_volumes=2, vol_shape=vol_shape, patch=patch, overlap=ovl
+        )
+        shape_tag = "x".join(map(str, vol_shape))
+    else:
+        vol_shape, patch = (256, 256, 128), 128
+        vols_per_min = bench_inference(n_volumes=7)
+        shape_tag = "256x256x128"
+
+    primary = {
+        "metric": f"sliding_window_inference_{shape_tag}_unet3d_chips{n_dev}",
+        "value": round(vols_per_min, 2),
+        "unit": "vols/min",
+        "vs_baseline": round(vols_per_min / 5.0, 4),
+        "platform": platform,
+    }
+    # Emit the primary line the moment it exists: if a driver timeout kills
+    # the secondaries below, the last parseable JSON line on stdout is this
+    # one and the round still records a valid artifact. The enriched line
+    # printed at the end supersedes it (drivers take the LAST JSON line).
+    print(json.dumps(primary), flush=True)
 
     secondary = []
+    t_start = time.perf_counter()
+    # Soft wall budget for the secondaries: generous on real hardware,
+    # tight on the CPU fallback so `timeout 600 python bench.py` always
+    # completes rc=0 with the enriched line.
+    budget_s = 150.0 if cpu_fb else 1800.0
 
     def record(metric, fn, unit):
+        if time.perf_counter() - t_start > budget_s:
+            print(f"[companion] {metric} skipped (wall budget)", file=sys.stderr)
+            return
         try:
             value = fn()
             secondary.append({"metric": metric, "value": round(value, 2), "unit": unit})
@@ -284,17 +327,28 @@ def main() -> None:
         except Exception as e:  # secondary benches are informational
             print(f"[companion] {metric} failed: {str(e)[:200]}", file=sys.stderr)
 
-    record(
-        f"unet3d_whole_volume_256x256x128_chips{n_dev}",
-        lambda: bench_whole_volume("unet", n_volumes=2 if cpu_fb else 5),
-        "vols/min",
-    )
-    record(
-        f"unet3d_128_train_chips{n_dev}",
-        lambda: bench_train("unet", n_steps=2 if cpu_fb else 10),
-        "patches/s",
-    )
-    if not cpu_fb:
+    if cpu_fb:
+        record(
+            f"unet3d_32_train_chips{n_dev}",
+            lambda: bench_train("unet", patch=32, n_steps=2),
+            "patches/s",
+        )
+        record(
+            f"unet2d_128_train_chips{n_dev}",
+            lambda: bench_train("unet2d", patch=(1, 128, 128), bs=2, n_steps=2),
+            "slices/s",
+        )
+    else:
+        record(
+            f"unet3d_whole_volume_256x256x128_chips{n_dev}",
+            lambda: bench_whole_volume("unet", n_volumes=5),
+            "vols/min",
+        )
+        record(
+            f"unet3d_128_train_chips{n_dev}",
+            lambda: bench_train("unet", n_steps=10),
+            "patches/s",
+        )
         record(
             f"unet3d_whole_volume_train_256x256x128_chips{n_dev}",
             bench_whole_volume_train_auto,
@@ -305,45 +359,34 @@ def main() -> None:
             bench_epoch_scan,
             "patches/s",
         )
-    record(
-        f"unetr_128_train_chips{n_dev}",
-        lambda: bench_train("unetr", n_steps=2 if cpu_fb else 5),
-        "patches/s",
-    )
-    record(
-        f"vtunet_128_train_chips{n_dev}",
-        lambda: bench_train("vtnet", n_steps=2 if cpu_fb else 5),
-        "patches/s",
-    )
-    record(
-        f"vtunet_inference_256x256x128_chips{n_dev}",
-        lambda: bench_inference("vtnet", n_volumes=2, batch_size=1),
-        "vols/min",
-    )
-    record(
-        f"vtunet_whole_volume_256x256x128_chips{n_dev}",
-        lambda: bench_whole_volume("vtnet", n_volumes=2 if cpu_fb else 3),
-        "vols/min",
-    )
-    record(
-        f"unet2d_512_train_chips{n_dev}",
-        lambda: bench_train("unet2d", patch=(1, 512, 512), bs=8,
-                            n_steps=2 if cpu_fb else 10),
-        "slices/s",
-    )
-
-    print(
-        json.dumps(
-            {
-                "metric": f"sliding_window_inference_256x256x128_unet3d_chips{n_dev}",
-                "value": round(vols_per_min, 2),
-                "unit": "vols/min",
-                "vs_baseline": round(vols_per_min / 5.0, 4),
-                "platform": platform,
-                "secondary": secondary,
-            }
+        record(
+            f"unetr_128_train_chips{n_dev}",
+            lambda: bench_train("unetr", n_steps=5),
+            "patches/s",
         )
-    )
+        record(
+            f"vtunet_128_train_chips{n_dev}",
+            lambda: bench_train("vtnet", n_steps=5),
+            "patches/s",
+        )
+        record(
+            f"vtunet_inference_256x256x128_chips{n_dev}",
+            lambda: bench_inference("vtnet", n_volumes=2, batch_size=1),
+            "vols/min",
+        )
+        record(
+            f"vtunet_whole_volume_256x256x128_chips{n_dev}",
+            lambda: bench_whole_volume("vtnet", n_volumes=3),
+            "vols/min",
+        )
+        record(
+            f"unet2d_512_train_chips{n_dev}",
+            lambda: bench_train("unet2d", patch=(1, 512, 512), bs=8, n_steps=10),
+            "slices/s",
+        )
+
+    primary["secondary"] = secondary
+    print(json.dumps(primary), flush=True)
 
 
 if __name__ == "__main__":

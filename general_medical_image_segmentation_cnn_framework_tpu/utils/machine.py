@@ -22,14 +22,28 @@ from typing import Optional
 
 
 def machine_tag() -> str:
-    """Short fingerprint of the host CPU's feature set (salts CPU
-    compilation-cache directories; see module docstring)."""
+    """Short fingerprint of the host CPU (salts CPU compilation-cache
+    directories; see module docstring).
+
+    Hashes the model identity lines AND the feature flags: LLVM derives
+    tuning features like ``prefer-no-scatter``/``prefer-no-gather`` from
+    the CPU *model*, so two hosts with identical cpuinfo flags but
+    different models still produce incompatible AOT executables (observed
+    r4: flags-only salt collided across hosts and the loader logged
+    machine-feature mismatches)."""
+    keys = ("flags", "model name", "model\t", "cpu family", "stepping", "vendor_id")
+    lines = []
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next(l for l in f if l.startswith("flags"))
-    except (OSError, StopIteration):
-        flags = platform.processor() or "unknown"
-    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+            for l in f:
+                if not l.strip():
+                    break  # first processor block is enough
+                if l.startswith(keys):
+                    lines.append(l)
+    except OSError:
+        pass
+    ident = "".join(lines) or platform.processor() or "unknown"
+    return hashlib.sha1(ident.encode()).hexdigest()[:12]
 
 
 def probe_device_count(timeout: int = 180) -> Optional[int]:

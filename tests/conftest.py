@@ -35,7 +35,8 @@ from general_medical_image_segmentation_cnn_framework_tpu.utils.machine import (
 )
 
 jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/jax_test_cache_{machine_tag()}"
+    "jax_compilation_cache_dir",
+    os.environ.get("GMIST_TEST_CACHE_DIR", f"/tmp/jax_test_cache_{machine_tag()}"),
 )
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -44,6 +45,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: heavyweight test (e.g. the 128^3 VT-UNet oracle)"
+    )
+    config.addinivalue_line(
+        "markers",
+        "quick: conv-compile-free correctness subset — `pytest -m quick` "
+        "runs <5 min even on a machine with a COLD XLA compile cache "
+        "(3-D conv compiles dominate cold-suite cost; VERDICT r3 #9)",
     )
 
 

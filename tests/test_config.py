@@ -3,6 +3,8 @@
 
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from general_medical_image_segmentation_cnn_framework_tpu.config import (
     compose,
     parse_patch_size,

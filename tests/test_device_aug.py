@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.quick
 from scipy import ndimage
 
 from general_medical_image_segmentation_cnn_framework_tpu.data import device_aug as da

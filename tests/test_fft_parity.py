@@ -4,6 +4,8 @@ where the reference's all-dims rfftn quirk is a no-op — SURVEY §2.8)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 torch = pytest.importorskip("torch")
 
 import jax.numpy as jnp  # noqa: E402

@@ -4,6 +4,8 @@ pure-numpy readers."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from general_medical_image_segmentation_cnn_framework_tpu.data.io import (
     Volume,
     read_mhd,

@@ -8,6 +8,8 @@ hand-computed dice/metric values with the reference's smooth constants.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from general_medical_image_segmentation_cnn_framework_tpu import losses, metrics
 
 

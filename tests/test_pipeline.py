@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from general_medical_image_segmentation_cnn_framework_tpu.data.io import Volume
 from general_medical_image_segmentation_cnn_framework_tpu.data.pipeline import (
     GridAggregator,

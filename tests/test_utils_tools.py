@@ -21,6 +21,10 @@ from general_medical_image_segmentation_cnn_framework_tpu.utils.transfer import 
     chunked_device_get,
 )
 
+import pytest
+
+pytestmark = pytest.mark.quick
+
 
 def test_trans2nii(tmp_path):
     rng = np.random.default_rng(0)
