@@ -1,4 +1,4 @@
-"""VT-UNet 2-D -> 3-D weight inflation (numpy-level, no mmcv).
+"""VT-UNet 2-D -> 3-D weight inflation (pure numpy — no mmcv, no torch).
 
 Re-implements the reference's ``SwinTransformerSys3D.inflate_weights``
 (/root/reference/models/three_d/vt_unet.py:1004-1060) for the Flax
@@ -39,23 +39,48 @@ from typing import Dict, Sequence, Tuple
 import numpy as np
 
 
+def _cubic_interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Dense [out_size, in_size] 1-D bicubic interpolation matrix with
+    torch.nn.functional.interpolate(mode='bicubic') semantics: cubic
+    convolution kernel A=-0.75, half-pixel source mapping
+    (align_corners=False), border taps clamped, antialias=False."""
+    A = -0.75
+
+    def k1(x):  # |x| <= 1 branch of the cubic convolution kernel
+        return ((A + 2.0) * x - (A + 3.0)) * x * x + 1.0
+
+    def k2(x):  # 1 < |x| < 2 branch
+        return ((A * x - 5.0 * A) * x + 8.0 * A) * x - 4.0 * A
+
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    scale = in_size / out_size
+    for o in range(out_size):
+        x = (o + 0.5) * scale - 0.5
+        x0 = int(np.floor(x))
+        t = x - x0
+        coeffs = (k2(t + 1.0), k1(t), k1(1.0 - t), k2(2.0 - t))
+        for tap, c in zip(range(x0 - 1, x0 + 3), coeffs):
+            m[o, min(max(tap, 0), in_size - 1)] += c
+    return m
+
+
 def _bicubic_resize_table(table: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     """Bicubic-resize a [L1, nH] table whose rows form an S1 x S1 grid to
-    out_hw, returning [out_h*out_w, nH] (reference :1034-1052 uses
-    torch.nn.functional.interpolate(mode='bicubic'))."""
+    out_hw, returning [out_h*out_w, nH]. Pure numpy, bit-matching the
+    reference's torch.nn.functional.interpolate(mode='bicubic') call
+    (reference vt_unet.py:1034-1052) — tested against torch in
+    tests/test_inflate_vtunet.py."""
     l1, nh = table.shape
     s1 = int(round(l1 ** 0.5))
     if (s1 * s1) != l1:
         raise ValueError(f"bias table length {l1} is not a square grid")
     if (s1, s1) == tuple(out_hw):
         return table
-    import torch
-    import torch.nn.functional as F
-
-    t = torch.from_numpy(np.ascontiguousarray(table.astype(np.float32)))
-    t = t.permute(1, 0).reshape(1, nh, s1, s1)
-    t = F.interpolate(t, size=tuple(out_hw), mode="bicubic")
-    return t.reshape(nh, out_hw[0] * out_hw[1]).permute(1, 0).numpy()
+    grid = table.astype(np.float64).T.reshape(nh, s1, s1)
+    mh = _cubic_interp_matrix(s1, out_hw[0])
+    mw = _cubic_interp_matrix(s1, out_hw[1])
+    out = np.einsum("oi,nij,pj->nop", mh, grid, mw)
+    return out.reshape(nh, out_hw[0] * out_hw[1]).T.astype(np.float32)
 
 
 def _get_shape(tree: Dict, path: Sequence[str]):

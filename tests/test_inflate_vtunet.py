@@ -116,3 +116,28 @@ def test_inflation_resizes_mismatched_window(tiny_vtunet):
     blk = new_params["SwinTransformerSys3D_0"]["BasicLayer_0"][
         "SwinTransformerBlock3D_0"]["WindowAttention3D_0"]
     assert np.asarray(blk["relative_position_bias_table"]).shape == (27, 3)
+
+
+def test_bicubic_matches_torch_interpolate():
+    """The numpy bicubic must bit-match the reference's
+    F.interpolate(mode='bicubic', antialias=False) call
+    (reference vt_unet.py:1034-1052) across up/down/equal resizes."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from general_medical_image_segmentation_cnn_framework_tpu.utils.inflate_vtunet import (
+        _bicubic_resize_table,
+    )
+
+    r = np.random.default_rng(0)
+    for s1, out_hw in ((13, (13, 15)), (13, (9, 7)), (5, (11, 11)), (7, (7, 7))):
+        table = r.normal(size=(s1 * s1, 6)).astype(np.float32)
+        got = _bicubic_resize_table(table, out_hw)
+        t = torch.from_numpy(table).permute(1, 0).reshape(1, 6, s1, s1)
+        want = (
+            F.interpolate(t, size=out_hw, mode="bicubic")
+            .reshape(6, out_hw[0] * out_hw[1])
+            .permute(1, 0)
+            .numpy()
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
