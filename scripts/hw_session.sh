@@ -18,6 +18,7 @@ run() {
 }
 
 run bench            python bench.py
+run tlayout_conv     python scripts/bench_tlayout_conv.py
 run transpose_phased python scripts/bench_transpose_phased.py
 run dilated_tapgroup python scripts/bench_dilated_tapgroup.py
 run device_aug       python scripts/bench_device_aug.py
