@@ -110,6 +110,38 @@ class TorchConv(nn.Module):
             # measured fastest at every level on v5e; the decomposed
             # form covers the strided-depth cases
             conv = conv3d_tapgrouped if s[0] == 1 else conv3d_decomposed
+            # T-layout Pallas route (GMIST_TLAYOUT_CONV=1 /
+            # config.tlayout_conv): K=9*Cin im2col contraction for the
+            # lane/sublane-aligned SAME k3s1 convs — the r3-roofline
+            # traffic-bound shallow levels (and the UNETR/VT-UNet decoder
+            # pyramids, which are the same shapes). Same param tree.
+            if (
+                os.environ.get("GMIST_TLAYOUT_CONV")
+                and k == (3, 3, 3)
+                and s == (1, 1, 1)
+                and p == (1, 1, 1)
+                and d == (1, 1, 1)
+            ):
+                from ..ops import pallas_tlayout as ptl
+
+                if ptl.supported(
+                    cin, self.features, x.shape[3], self.dtype, d=x.shape[1]
+                ) and (
+                    ptl._INTERPRET or jax.default_backend() == "tpu"
+                ):
+                    y = ptl.from_tlayout(
+                        ptl.conv3d_tlayout(
+                            ptl.to_tlayout(x.astype(self.dtype)),
+                            kernel.astype(self.dtype),
+                        )
+                    )
+                    if self.use_bias:
+                        bias = self.param(
+                            "bias", bias_initializer(self.init_type),
+                            (self.features,), jnp.float32,
+                        )
+                        y = y + bias.astype(y.dtype)
+                    return y
             # deep small-grid levels are occupancy-bound under the conv2d
             # forms (r3 roofline: 3-12% MFU at 8^3..32^3); the one-matmul
             # im2col contraction (K = k^3*Cin) fills the MXU there and its

@@ -45,14 +45,25 @@ import jax.numpy as jnp
 _INTERPRET = False  # test hook
 
 
-def supported(cin: int, cout: int, w: int, dtype) -> bool:
+def supported(cin: int, cout: int, w: int, dtype, d: int | None = None) -> bool:
     """Hardware-path eligibility: every sublane offset in the kernel is a
     multiple of Cin and every lane slice a multiple of W, so Cin must be
-    sublane-tile aligned (32 covers f32 and bf16) and W lane-aligned."""
-    return cin % 32 == 0 and cout % 8 == 0 and w % 128 == 0
+    sublane-tile aligned (32 covers f32 and bf16) and W lane-aligned.
+
+    W in [32, 128) that divides 128 is eligible through depth-slice lane
+    FOLDING: f = 128//W depth slices ride side-by-side in the lane dim
+    ([..., C, f*W]); needs D % f == 0 (pass ``d`` to check — the per-depth
+    2-D conv treats slices independently, so folding is exact)."""
+    if cin % 32 or cout % 8:
+        return False
+    if w % 128 == 0:
+        return True
+    if w >= 32 and 128 % w == 0:
+        return d is None or d % (128 // w) == 0
+    return False
 
 
-def _kernel(x_ref, w_ref, out_ref, slab, rhs, sem, *, bh, cin, cout, w):
+def _kernel(x_ref, w_ref, out_ref, slab, rhs, sem, *, bh, cin, cout, w, w_seg):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -71,7 +82,12 @@ def _kernel(x_ref, w_ref, out_ref, slab, rhs, sem, *, bh, cin, cout, w):
     dma.wait()
 
     sl = slab[...]
+    # w_seg < w: the lane dim carries w//w_seg independent depth slices
+    # side-by-side (lane folding); the edge mask then applies per SEGMENT
+    # (lane % w_seg), which also zeroes the cross-segment roll leakage
     lane = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, cin, w), 2)
+    if w_seg != w:
+        lane = jax.lax.rem(lane, w_seg)
     for dx in range(3):
         # tap column w+dx-1: roll the W (lane) axis by 1-dx and zero the
         # wrapped edge column — never a sub-128 lane slice
@@ -83,7 +99,7 @@ def _kernel(x_ref, w_ref, out_ref, slab, rhs, sem, *, bh, cin, cout, w):
             if shift > 0:
                 shifted = jnp.where(lane >= shift, shifted, 0)
             else:
-                shifted = jnp.where(lane < w + shift, shifted, 0)
+                shifted = jnp.where(lane < w_seg + shift, shifted, 0)
         for h in range(bh):
             for dy in range(3):
                 # rhs[(dy,dx,ci), h*W + w] = x[z, j*bh+h+dy-1, ci, w+dx-1]
@@ -105,7 +121,7 @@ def _kernel(x_ref, w_ref, out_ref, slab, rhs, sem, *, bh, cin, cout, w):
 
 
 def conv2d_tapcols_tlayout(
-    x_t: jnp.ndarray, kernel: jnp.ndarray, bh: int = 8
+    x_t: jnp.ndarray, kernel: jnp.ndarray, bh: int = None
 ) -> jnp.ndarray:
     """Per-depth-slice 2-D conv with 3-D taps grouped into output rows.
 
@@ -121,19 +137,40 @@ def conv2d_tapcols_tlayout(
     n, d, h, cin, w = x_t.shape
     cout = kernel.shape[-1]
     assert kernel.shape[:3] == (3, 3, 3), "k3 only"
+    if bh is None:
+        import os
+
+        bh = int(os.environ.get("GMIST_TLAYOUT_BH", "8"))  # HW sweep knob
     if h % bh != 0:
         bh = next(b for b in range(min(bh, h), 0, -1) if h % b == 0)
+
+    # lane folding for W < 128 (supported() gate): ride f = 128//W depth
+    # slices side-by-side in lanes — [N, D, H, C, W] -> [N, D/f, H, C, f*W].
+    # The per-depth 2-D conv treats slices independently and the kernel's
+    # edge masks apply per w_seg segment, so this is exact.
+    w_seg, fold, d_k = w, 1, d
+    if w % 128 != 0:
+        fold = 128 // w
+        assert d % fold == 0 and 128 % w == 0, (d, w)
+        x_t = (
+            x_t.reshape(n, d // fold, fold, h, cin, w)
+            .transpose(0, 1, 3, 4, 2, 5)
+            .reshape(n, d // fold, h, cin, fold * w)
+        )
+        d_k = d // fold
+        w = fold * w
+
     # pad H by 1 halo row on each side (SAME, ph=1)
     xp = jnp.pad(x_t, ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)))
 
     # [kd*Cout, 9*Cin]: rows (dz, co), cols (dy, dx, ci)
     w_flat = kernel.transpose(0, 4, 1, 2, 3).reshape(3 * cout, 9 * cin)
 
-    kern = partial(_kernel, bh=bh, cin=cin, cout=cout, w=w)
-    return pl.pallas_call(
+    kern = partial(_kernel, bh=bh, cin=cin, cout=cout, w=w, w_seg=w_seg)
+    y = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n, d, h, 3 * cout, w), x_t.dtype),
-        grid=(n, d, h // bh),
+        out_shape=jax.ShapeDtypeStruct((n, d_k, h, 3 * cout, w), x_t.dtype),
+        grid=(n, d_k, h // bh),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -150,6 +187,13 @@ def conv2d_tapcols_tlayout(
         ],
         interpret=_INTERPRET,
     )(xp, w_flat.astype(x_t.dtype))
+    if fold > 1:
+        y = (
+            y.reshape(n, d_k, h, 3 * cout, fold, w_seg)
+            .transpose(0, 1, 4, 2, 3, 5)
+            .reshape(n, d, h, 3 * cout, w_seg)
+        )
+    return y
 
 
 def _shift_add_depth(y_pre: jnp.ndarray, cout: int, out_dtype) -> jnp.ndarray:

@@ -51,6 +51,10 @@ def apply_platform(config) -> None:
     plat = os.environ.get("GMIST_PLATFORM") or getattr(config, "platform", None)
     if plat:
         jax.config.update("jax_platforms", str(plat))
+    # conv-routing experiment flags travel as env vars (read inside
+    # nn.blocks.TorchConv at trace time, where no config is in scope)
+    if getattr(config, "tlayout_conv", False):
+        os.environ["GMIST_TLAYOUT_CONV"] = "1"
 
 
 def enable_compilation_cache(config) -> None:

@@ -30,9 +30,12 @@ from general_medical_image_segmentation_cnn_framework_tpu.ops.conv3d import (
 )
 
 SHAPES = [
-    # (name, D/H/W cube, cin, cout)  — enc1b / dec1a at 128^3, enc2b at 64^3*
+    # (name, D/H/W cube, cin, cout)  — enc1b / dec1a at 128^3; enc2b/dec2a
+    # at 64^3 route through the depth-pair lane-folded variant (fold=2)
     ("enc1b_128_32to32", 128, 32, 32),
     ("dec1a_128_64to32", 128, 64, 32),
+    ("enc2b_64_64to64", 64, 64, 64),
+    ("dec2a_64_128to64", 64, 128, 64),
 ]
 
 
@@ -92,6 +95,48 @@ def make_variants(s, cin, cout, dtype):
     return fwd, fb
 
 
+def step_ab(network, patch, n=8):
+    """Full-train-step paired A/B: GMIST_TLAYOUT_CONV off vs on (fresh jit
+    per variant; the env flag is read at trace time inside TorchConv)."""
+    import os
+
+    import bench
+    from general_medical_image_segmentation_cnn_framework_tpu.models import build_model
+    from general_medical_image_segmentation_cnn_framework_tpu.train import (
+        init_train_state,
+        make_train_step,
+    )
+
+    res = {}
+    for variant in ("off", "on"):
+        os.environ.pop("GMIST_TLAYOUT_CONV", None)
+        if variant == "on":
+            os.environ["GMIST_TLAYOUT_CONV"] = "1"
+        config = bench._config(network, patch)
+        model = build_model(config)
+        rng = jax.random.PRNGKey(0)
+        params, stats, opt, tx = init_train_state(config, model, rng)
+        raw = make_train_step(config, model, tx)
+        step = jax.jit(lambda p, s, o, x, y, r: raw(p, s, o, x, y, r))
+        x = jax.random.normal(rng, (1, patch, patch, patch, 1), jnp.float32)
+        y = (jax.random.uniform(rng, (1, patch, patch, patch, 1)) > 0.5).astype(
+            jnp.float32
+        )
+        params, stats, opt, loss, dice = step(params, stats, opt, x, y, rng)
+        _ = float(loss)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            params, stats, opt, loss, dice = step(params, stats, opt, x, y, rng)
+        _ = float(loss)
+        res[variant] = (time.perf_counter() - t0) / n * 1e3
+    os.environ.pop("GMIST_TLAYOUT_CONV", None)
+    print(
+        f"{network}_{patch} step: off={res['off']:.1f}ms on={res['on']:.1f}ms "
+        f"({res['off'] / res['on']:.2f}x)",
+        flush=True,
+    )
+
+
 def main():
     global SHAPES
     dtype = jnp.bfloat16
@@ -111,6 +156,14 @@ def main():
             base = res["xla"]
             line = " ".join(f"{v}={t:.2f}ms({base / t:.2f}x)" for v, t in res.items())
             print(f"{name} {tag}: {line}", flush=True)
+
+    if "--smoke" in sys.argv:
+        step_ab("unet", 16, n=1)  # structure check (W=16 -> both paths XLA)
+    else:
+        # end-to-end: the flagship step and the UNETR decoder pyramid
+        # (91.6% of its step is these conv shapes — r3 transformer profile)
+        step_ab("unet", 128)
+        step_ab("unetr", 128, n=5)
 
 
 if __name__ == "__main__":

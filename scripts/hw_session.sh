@@ -22,5 +22,7 @@ run tlayout_conv     python scripts/bench_tlayout_conv.py
 run transpose_phased python scripts/bench_transpose_phased.py
 run dilated_tapgroup python scripts/bench_dilated_tapgroup.py
 run device_aug       python scripts/bench_device_aug.py
+run roofline_densenet python scripts/roofline.py --network densenet --patch 64
+run roofline_fcn3d   python scripts/roofline.py --network fcn3d --patch 64
 
 echo "session logs in $OUT"

@@ -97,7 +97,7 @@ def report(name, t, c, min_bytes=None):
     print(line, flush=True)
 
 
-def bench_step(patch, feat, reps):
+def bench_step(patch, feat, reps, network="unet"):
     from general_medical_image_segmentation_cnn_framework_tpu.config import ConfigDict
     from general_medical_image_segmentation_cnn_framework_tpu.models import build_model
     from general_medical_image_segmentation_cnn_framework_tpu.train import (
@@ -107,7 +107,7 @@ def bench_step(patch, feat, reps):
 
     config = ConfigDict(
         {
-            "network": "unet", "in_classes": 1, "out_classes": 2,
+            "network": network, "in_classes": 1, "out_classes": 2,
             "patch_size": (patch,) * 3, "init_lr": 1e-3,
             "init_type": "none", "precision": "bfloat16", "seed": 0,
             "batch_size": 1,
@@ -145,7 +145,7 @@ def bench_step(patch, feat, reps):
         ca = ca[0]
     c = {"bytes": float(ca.get("bytes accessed", float("nan"))),
          "flops": float(ca.get("flops", float("nan")))}
-    report(f"unet {patch}^3 train step", t, c)
+    report(f"{network} {patch}^3 train step", t, c)
     return t, c
 
 
@@ -155,6 +155,9 @@ def main():
     ap.add_argument("--feat", type=int, default=32)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--skip-step", action="store_true")
+    ap.add_argument("--network", default="unet",
+                    help="any registry net; non-unet skips the per-level conv table "
+                         "(VERDICT r3 #5: roofline densenet/fcn3d at --patch 64)")
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}", flush=True)
@@ -173,10 +176,11 @@ def main():
         ("enc4b 256->256 @16^3", (p // 8,) * 3, 8 * f, 8 * f),
         ("bottleneck 512 @8^3", (p // 16,) * 3, 16 * f, 16 * f),
     ]
-    for name, sh, cin, cout in levels:
-        bench_conv(name, sh, cin, cout, args.reps)
+    if args.network == "unet":
+        for name, sh, cin, cout in levels:
+            bench_conv(name, sh, cin, cout, args.reps)
     if not args.skip_step:
-        bench_step(args.patch, args.feat, args.reps)
+        bench_step(args.patch, args.feat, args.reps, network=args.network)
 
 
 if __name__ == "__main__":

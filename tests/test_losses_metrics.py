@@ -123,3 +123,47 @@ def test_focal_loss_reduces_easy_examples():
     logits = np.array([[10.0]], np.float32)  # confident correct
     tgt = np.array([[1.0]], np.float32)
     assert float(losses.focal_loss(logits, tgt)) < 1e-4
+
+
+def _hd95_bruteforce(gt, pred, spacing):
+    """O(S^2) all-pairs reference for the EDT implementation (MONAI
+    compute_hausdorff_distance semantics: erosion-XOR surfaces, directed
+    95th percentiles via np.percentile, undirected max)."""
+    from scipy import ndimage
+
+    def surface_pts(m):
+        s = m ^ ndimage.binary_erosion(m)
+        return np.argwhere(s) * np.asarray(spacing, np.float64)
+
+    a, b = surface_pts(gt), surface_pts(pred)
+    d = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(-1))
+    return max(
+        np.percentile(d.min(axis=0), 95),  # pred surface -> gt surface
+        np.percentile(d.min(axis=1), 95),  # gt surface -> pred surface
+    )
+
+
+def test_hausdorff95_matches_bruteforce():
+    """EDT hausdorff_95 vs an independent all-pairs computation, on
+    irregular blobs, isotropic AND anisotropic spacing."""
+    r = np.random.default_rng(3)
+    shape = (14, 15, 16)
+    g = np.stack(np.meshgrid(*[np.arange(s) for s in shape], indexing="ij"))
+    for seed, spacing in ((0, (1.0, 1.0, 1.0)), (1, (0.7, 1.3, 2.1)), (2, (3.0, 1.0, 1.0))):
+        rr = np.random.default_rng(seed)
+        c1 = np.array([7, 7, 8]) + rr.uniform(-2, 2, 3)
+        c2 = c1 + rr.uniform(-3, 3, 3)
+        gt = (np.sqrt(((g - c1[:, None, None, None]) ** 2).sum(0)) < 4.5)
+        pred = (np.sqrt(((g - c2[:, None, None, None]) ** 2).sum(0)) < 3.5)
+        want = _hd95_bruteforce(gt, pred, spacing)
+        got = metrics.hausdorff_95(gt, pred, spacing)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_hausdorff95_empty_surfaces():
+    gt = np.zeros((8, 8, 8), bool)
+    pred = np.zeros((8, 8, 8), bool)
+    pred[2:4, 2:4, 2:4] = True
+    assert metrics.hausdorff_95(gt, pred, (1, 1, 1)) == float("inf")
+    assert metrics.hausdorff_95(pred, gt, (1, 1, 1)) == float("inf")
+    assert metrics.hausdorff_95(gt, gt, (1, 1, 1)) == float("inf")

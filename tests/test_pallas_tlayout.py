@@ -68,4 +68,104 @@ def test_supported_gate():
     assert pallas_tlayout.supported(32, 32, 128, jnp.bfloat16)
     assert pallas_tlayout.supported(64, 32, 256, jnp.float32)
     assert not pallas_tlayout.supported(1, 32, 128, jnp.float32)  # stem
-    assert not pallas_tlayout.supported(32, 32, 64, jnp.float32)  # W<128
+    # W<128: eligible via depth-slice lane folding when D % (128//W) == 0
+    assert pallas_tlayout.supported(32, 32, 64, jnp.float32)  # d unknown
+    assert pallas_tlayout.supported(64, 64, 64, jnp.float32, d=64)
+    assert not pallas_tlayout.supported(64, 64, 64, jnp.float32, d=5)
+    assert pallas_tlayout.supported(32, 32, 32, jnp.float32, d=32)
+    assert not pallas_tlayout.supported(32, 32, 16, jnp.float32, d=16)  # W<32
+    assert not pallas_tlayout.supported(32, 32, 96, jnp.float32, d=8)  # 128%W
+
+
+@pytest.mark.parametrize(
+    "shape,cin,cout,bh",
+    [
+        ((1, 6, 8, 64), 32, 32, 4),  # fold=2 (enc2-like)
+        ((2, 4, 8, 32), 32, 16, 8),  # fold=4
+        ((1, 8, 6, 64), 64, 8, 3),  # fold=2, odd bh
+    ],
+)
+def test_conv3d_tlayout_folded_matches_decomposed(shape, cin, cout, bh):
+    """W<128 depth-slice lane folding is exact (segment edge masks)."""
+    n, d, h, w = shape
+    x = _rand((n, d, h, w, cin), seed=11)
+    k = _rand((3, 3, 3, cin, cout), seed=12) * 0.2
+    want = conv3d_decomposed(jnp.asarray(x), jnp.asarray(k))
+    x_t = pallas_tlayout.to_tlayout(jnp.asarray(x))
+    y_pre = pallas_tlayout.conv2d_tapcols_tlayout(x_t, jnp.asarray(k), bh=bh)
+    got_t = pallas_tlayout._shift_add_depth(y_pre, cout, x.dtype)
+    got = pallas_tlayout.from_tlayout(got_t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_conv3d_tlayout_folded_vjp_matches_xla():
+    n, d, h, w, cin, cout = 1, 4, 4, 64, 32, 8
+    x = jnp.asarray(_rand((n, d, h, w, cin), seed=13))
+    k = jnp.asarray(_rand((3, 3, 3, cin, cout), seed=14) * 0.2)
+    ct = jnp.asarray(_rand((n, d, h, w, cout), seed=15))
+
+    def ref_loss(x, k):
+        return jnp.sum(conv3d_decomposed(x, k) * ct)
+
+    def got_loss(x, k):
+        y = pallas_tlayout.conv3d_tlayout(pallas_tlayout.to_tlayout(x), k)
+        return jnp.sum(y * pallas_tlayout.to_tlayout(ct))
+
+    gx_ref, gk_ref = jax.grad(ref_loss, argnums=(0, 1))(x, k)
+    gx, gk = jax.grad(got_loss, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref), atol=3e-3)
+
+
+def test_torchconv_tlayout_routing_matches_default(monkeypatch):
+    """GMIST_TLAYOUT_CONV routes eligible TorchConvs (SAME k3s1, Cin%32,
+    W%128) through the Pallas kernel with an IDENTICAL param tree and
+    matching logits; ineligible convs (stem Cin=1, W=64 levels, k1 heads)
+    fall back silently."""
+    import os
+
+    from general_medical_image_segmentation_cnn_framework_tpu.nn.blocks import (
+        TorchConv,
+    )
+
+    x = jnp.asarray(_rand((1, 4, 4, 128, 32), seed=7))
+    conv = TorchConv(features=16, kernel_size=3, stride=1, padding=1)
+    v = conv.init(jax.random.PRNGKey(0), x)
+    want = conv.apply(v, x)
+
+    monkeypatch.setenv("GMIST_TLAYOUT_CONV", "1")
+    v2 = conv.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(v)
+    got = conv.apply(v, x)
+    assert os.environ.get("GMIST_TLAYOUT_CONV") == "1"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+    # ineligible (W=64) still works and matches
+    x64 = jnp.asarray(_rand((1, 4, 4, 64, 32), seed=8))
+    v64 = conv.init(jax.random.PRNGKey(0), x64)
+    np.testing.assert_allclose(
+        np.asarray(conv.apply(v64, x64)),
+        np.asarray(conv.apply(v64, x64)),
+    )
+
+
+def test_unet_forward_with_tlayout_routing(monkeypatch):
+    """Whole-model check: unet3d logits with the T-layout route enabled
+    (interpret mode) match the default path at a W=128 shape."""
+    from general_medical_image_segmentation_cnn_framework_tpu.config import ConfigDict
+    from general_medical_image_segmentation_cnn_framework_tpu.models import build_model
+
+    config = ConfigDict(
+        {
+            "network": "unet", "in_classes": 1, "out_classes": 2,
+            "patch_size": (16, 16, 128), "init_lr": 1e-3,
+            "init_type": "kaiming", "precision": "float32", "seed": 0,
+        }
+    )
+    model = build_model(config)
+    x = jnp.asarray(_rand((1, 16, 16, 128, 1), seed=9))
+    v = jax.jit(lambda r: model.init(r, x, train=False))(jax.random.PRNGKey(0))
+    want = model.apply(v, x, train=False)
+    monkeypatch.setenv("GMIST_TLAYOUT_CONV", "1")
+    got = model.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
