@@ -240,6 +240,43 @@ def bench_whole_volume_train_auto():
         return bench_whole_volume_train(remat=True)
 
 
+def _run_ab_script(args, timeout):
+    """Run a scripts/ A/B in a SUBPROCESS with a hard timeout and return
+    its stdout ('' on timeout/failure). Containment matters: a Mosaic
+    compile hang or a wedging transport inside an experiment must cost
+    that experiment, never the driver's whole bench (r1/r3 precedents).
+    All output is forwarded to stderr for the round log."""
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        r = subprocess.run(
+            [sys.executable] + args, timeout=timeout, cwd=root,
+            capture_output=True, text=True,
+        )
+        out = r.stdout
+        print(f"[extras] {' '.join(args)} rc={r.returncode}\n{out}\n{r.stderr[-2000:]}",
+              file=sys.stderr, flush=True)
+        return out if r.returncode == 0 else ""
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout if isinstance(e.stdout, str) else (e.stdout or b"").decode(errors="replace")
+        print(f"[extras] {' '.join(args)} TIMEOUT >{timeout}s\n{out}",
+              file=sys.stderr, flush=True)
+        return ""
+
+
+def _parse_medians(text, pattern, group_key, group_val):
+    """Collect rep lines and reduce to a per-key median."""
+    import re
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for m in re.finditer(pattern, text):
+        vals[m.group(group_key)].append(float(m.group(group_val)))
+    return {k: float(np.median(v)) for k, v in vals.items()}
+
+
 def _ensure_live_backend(probe_timeout: int = 180) -> str:
     """Guard against a wedged device transport: the tunneled TPU relay can
     hang ``jax.devices()`` forever IN EVERY PROCESS (observed r3). Probe it
@@ -316,6 +353,13 @@ def main() -> None:
     # completes rc=0 with the enriched line.
     budget_s = 150.0 if cpu_fb else 1800.0
 
+    def emit():
+        # Re-emit the enriched line after every addition: drivers take the
+        # LAST parseable JSON line, so a timeout anywhere below loses only
+        # the not-yet-measured tail, never the whole artifact.
+        primary["secondary"] = secondary
+        print(json.dumps(primary), flush=True)
+
     def record(metric, fn, unit):
         if time.perf_counter() - t_start > budget_s:
             print(f"[companion] {metric} skipped (wall budget)", file=sys.stderr)
@@ -324,6 +368,7 @@ def main() -> None:
             value = fn()
             secondary.append({"metric": metric, "value": round(value, 2), "unit": unit})
             print(f"[companion] {metric}: {value:.2f} {unit}", file=sys.stderr)
+            emit()
         except Exception as e:  # secondary benches are informational
             print(f"[companion] {metric} failed: {str(e)[:200]}", file=sys.stderr)
 
@@ -385,8 +430,77 @@ def main() -> None:
             "slices/s",
         )
 
-    primary["secondary"] = secondary
-    print(json.dumps(primary), flush=True)
+        # --- queued hardware A/Bs (VERDICT r3 #1), subprocess-contained ---
+        # Each runs scripts/<ab>.py in its own process with a hard timeout:
+        # both sides of every pair are measured interleaved in ONE process
+        # (tunnel variance is +-40%; only paired comparisons are valid),
+        # and a Mosaic hang or wedge costs one experiment, not the bench.
+        extras_deadline = time.perf_counter() + float(
+            __import__("os").environ.get("GMIST_BENCH_EXTRAS_S", "3600")
+        )
+
+        def extra(args, timeout, parse):
+            left = extras_deadline - time.perf_counter()
+            if left < 120:
+                print(f"[extras] {args[0]} skipped (wall budget)", file=sys.stderr)
+                return
+            out = _run_ab_script(args, timeout=min(timeout, left))
+            if out:
+                for metric, value, unit in parse(out):
+                    secondary.append(
+                        {"metric": metric, "value": round(value, 2), "unit": unit}
+                    )
+                emit()
+
+        def parse_tlayout(out):
+            import re
+
+            for m in re.finditer(
+                r"(\w+)_(\d+) step: off=([\d.]+)ms v1=([\d.]+)ms v2=([\d.]+)ms",
+                out,
+            ):
+                net, patch_s = m.group(1), m.group(2)
+                for i, var in enumerate(("off", "v1", "v2")):
+                    yield (
+                        f"{net}_{patch_s}_train_step_tlayout_{var}",
+                        float(m.group(3 + i)),
+                        "ms",
+                    )
+
+        def parse_device_aug(out):
+            med = _parse_medians(
+                out, r"aug=true (?:\d+)\^3 (\w+)-backend rep\d+: ([\d.]+) patches/s",
+                1, 2,
+            )
+            for backend, v in med.items():
+                yield f"unet3d_128_train_aug_{backend}_backend", v, "patches/s"
+
+        def parse_harness(out):
+            med = _parse_medians(
+                out, r"(?:\w+) (?:\d+)\^3 (\w+) rep\d+: ([\d.]+) ms/step", 1, 2
+            )
+            for variant, v in med.items():
+                yield variant, v, "ms/step"  # caller wraps the name
+
+        def wrap(prefix, gen):
+            return lambda out: (
+                (f"{prefix}_{m}", v, u) for m, v, u in gen(out)
+            )
+
+        extra(
+            ["scripts/bench_tlayout_conv.py", "--step-ab"], 1800, parse_tlayout
+        )
+        extra(["scripts/bench_device_aug.py"], 1500, parse_device_aug)
+        extra(
+            ["scripts/bench_transpose_phased.py", "densenet", "64"], 900,
+            wrap("densenet_64_train_step", parse_harness),
+        )
+        extra(
+            ["scripts/bench_dilated_tapgroup.py", "highresnet", "64"], 900,
+            wrap("highresnet_64_train_step", parse_harness),
+        )
+
+    emit()
 
 
 if __name__ == "__main__":

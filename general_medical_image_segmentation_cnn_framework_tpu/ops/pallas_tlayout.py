@@ -63,34 +63,17 @@ def supported(cin: int, cout: int, w: int, dtype, d: int | None = None) -> bool:
     return False
 
 
-def _kernel(x_ref, w_ref, out_ref, slab, rhs, sem, *, bh, cin, cout, w, w_seg):
+def _build_rhs(sl, rhs, lane, *, bh, cin, w, w_seg):
+    """Fill the im2col scratch: rhs[(dy,dx,ci), h*W+w] = sl[h+dy, ci, w+dx-1].
+
+    dx taps are lane ROLLS of the whole slab with per-w_seg-segment edge
+    masks (never a sub-128 lane slice); dy taps are major-dim reads;
+    writes land at (dy*3+dx)*Cin sublane / h*W lane offsets (all
+    tile-aligned under the supported() gate)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n = pl.program_id(0)
-    z = pl.program_id(1)
-    j = pl.program_id(2)
-
-    dma = pltpu.make_async_copy(
-        # [bh+2, Cin, W] H-strip with halo rows; H is a MAJOR dim of the
-        # [N, D, Hp, C, W] source so any row offset is tile-aligned
-        x_ref.at[n, z, pl.ds(j * bh, bh + 2)],
-        slab,
-        sem,
-    )
-    dma.start()
-    dma.wait()
-
-    sl = slab[...]
-    # w_seg < w: the lane dim carries w//w_seg independent depth slices
-    # side-by-side (lane folding); the edge mask then applies per SEGMENT
-    # (lane % w_seg), which also zeroes the cross-segment roll leakage
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, cin, w), 2)
-    if w_seg != w:
-        lane = jax.lax.rem(lane, w_seg)
     for dx in range(3):
-        # tap column w+dx-1: roll the W (lane) axis by 1-dx and zero the
-        # wrapped edge column — never a sub-128 lane slice
         shift = 1 - dx
         if shift == 0:
             shifted = sl
@@ -102,22 +85,68 @@ def _kernel(x_ref, w_ref, out_ref, slab, rhs, sem, *, bh, cin, cout, w, w_seg):
                 shifted = jnp.where(lane < w_seg + shift, shifted, 0)
         for h in range(bh):
             for dy in range(3):
-                # rhs[(dy,dx,ci), h*W + w] = x[z, j*bh+h+dy-1, ci, w+dx-1]
-                # sublane offset (dy*3+dx)*Cin (32-mult), lane offset h*W
                 rhs[
                     pl.ds((dy * 3 + dx) * cin, cin),
                     pl.ds(h * w, w),
                 ] = shifted[h + dy]
 
-    # ONE deep-K matmul: [kd*Cout, 9*Cin] @ [9*Cin, bh*W]
-    y = jax.lax.dot_general(
-        w_ref[...],
-        rhs[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    for h in range(bh):
-        out_ref[0, 0, h] = y[:, h * w : (h + 1) * w].astype(out_ref.dtype)
+
+def _kernel(x_ref, w_ref, out_ref, slab, rhs, sem, *, bh, cin, cout, w, w_seg, hc):
+    """Grid step = (n, z, H-chunk). In-kernel fori_loop over the chunk's
+    bh-row strips with DOUBLE-BUFFERED halo DMAs (two slab slots, two DMA
+    semaphores): strip j+1 streams in while strip j's im2col + matmul run.
+    The grid-mapped out block gives the store side Pallas's own revolving
+    buffers, so input DMA, MXU, and output DMA all overlap."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pl.program_id(0)
+    z = pl.program_id(1)
+    c = pl.program_id(2)
+    nj = hc // bh  # strips per chunk (static)
+
+    def strip_dma(slot, j):
+        # [bh+2, Cin, W] H-strip with halo rows; H is a MAJOR dim of the
+        # [N, D, Hp, C, W] source so any row offset is tile-aligned
+        return pltpu.make_async_copy(
+            x_ref.at[n, z, pl.ds(c * hc + j * bh, bh + 2)],
+            slab.at[slot],
+            sem.at[slot],
+        )
+
+    strip_dma(0, 0).start()
+
+    # w_seg < w: the lane dim carries w//w_seg independent depth slices
+    # side-by-side (lane folding); the edge mask then applies per SEGMENT
+    # (lane % w_seg), which also zeroes the cross-segment roll leakage
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, cin, w), 2)
+    if w_seg != w:
+        lane = jax.lax.rem(lane, w_seg)
+
+    def strip_body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < nj)
+        def _():
+            strip_dma(1 - slot, j + 1).start()
+
+        strip_dma(slot, j).wait()
+        _build_rhs(slab[slot], rhs, lane, bh=bh, cin=cin, w=w, w_seg=w_seg)
+
+        # ONE deep-K matmul: [kd*Cout, 9*Cin] @ [9*Cin, bh*W]
+        y = jax.lax.dot_general(
+            w_ref[...],
+            rhs[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for h in range(bh):
+            out_ref[0, 0, j * bh + h] = y[:, h * w : (h + 1) * w].astype(
+                out_ref.dtype
+            )
+        return 0
+
+    jax.lax.fori_loop(0, nj, strip_body, 0)
 
 
 def conv2d_tapcols_tlayout(
@@ -149,9 +178,8 @@ def conv2d_tapcols_tlayout(
     # The per-depth 2-D conv treats slices independently and the kernel's
     # edge masks apply per w_seg segment, so this is exact.
     w_seg, fold, d_k = w, 1, d
-    if w % 128 != 0:
+    if w % 128 != 0 and w >= 32 and 128 % w == 0 and d % (128 // w) == 0:
         fold = 128 // w
-        assert d % fold == 0 and 128 % w == 0, (d, w)
         x_t = (
             x_t.reshape(n, d // fold, fold, h, cin, w)
             .transpose(0, 1, 3, 4, 2, 5)
@@ -166,24 +194,33 @@ def conv2d_tapcols_tlayout(
     # [kd*Cout, 9*Cin]: rows (dz, co), cols (dy, dx, ci)
     w_flat = kernel.transpose(0, 4, 1, 2, 3).reshape(3 * cout, 9 * cin)
 
-    kern = partial(_kernel, bh=bh, cin=cin, cout=cout, w=w, w_seg=w_seg)
+    # H-chunk per grid step: as large as a ~4MB out block allows (fewer
+    # chunk boundaries = deeper in-kernel DMA pipeline), multiple of bh
+    itemsize = x_t.dtype.itemsize
+    row_bytes = 3 * cout * w * itemsize
+    hc = max(bh, min(h, (4 << 20) // max(row_bytes, 1) // bh * bh))
+    while h % hc != 0:  # need an exact grid split
+        hc -= bh
+    assert hc >= bh and hc % bh == 0 and h % hc == 0, (h, bh, hc)
+
+    kern = partial(_kernel, bh=bh, cin=cin, cout=cout, w=w, w_seg=w_seg, hc=hc)
     y = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n, d_k, h, 3 * cout, w), x_t.dtype),
-        grid=(n, d_k, h // bh),
+        grid=(n, d_k, h // hc),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, bh, 3 * cout, w),
+            (1, 1, hc, 3 * cout, w),
             lambda i, z, j: (i, z, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((bh + 2, cin, w), x_t.dtype),
+            pltpu.VMEM((2, bh + 2, cin, w), x_t.dtype),  # double-buffered
             pltpu.VMEM((9 * cin, bh * w), x_t.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_INTERPRET,
     )(xp, w_flat.astype(x_t.dtype))
@@ -194,6 +231,148 @@ def conv2d_tapcols_tlayout(
             .reshape(n, d, h, 3 * cout, w_seg)
         )
     return y
+
+
+def _kernel_fused(
+    x_ref, w_ref, out_ref, slab, rhs, acc, sem, *, bh, cin, cout, w, w_seg, hc, d
+):
+    """v2 grid step = (n, H-chunk, z): the depth shift-add happens IN VMEM.
+
+    Per step z (< d): stream plane z's bh-row strips (double-buffered, v1's
+    inner pipeline), build the same [9*Cin, bh*W] im2col rhs, run the same
+    [3*Cout, 9*Cin] matmul — then ACCUMULATE the three dz contributions
+    into a revolving 3-slot f32 accumulator (output plane o = z+1-dz,
+    slot o%3) instead of writing y_pre to HBM. After accumulating, output
+    plane z-1 is complete: flush it to the grid-mapped out block and zero
+    its slot for reuse as plane z+2. Step z == d only flushes plane d-1.
+
+    Traffic: input read once, output written once — v1 pays an extra
+    3x-write + 3x-read y_pre round trip through HBM for the XLA
+    shift-add epilogue."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pl.program_id(0)
+    c = pl.program_id(1)
+    z = pl.program_id(2)
+    nj = hc // bh  # strips per chunk (static)
+
+    def strip_dma(slot, j):
+        return pltpu.make_async_copy(
+            x_ref.at[n, z, pl.ds(c * hc + j * bh, bh + 2)],
+            slab.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(z == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, cin, w), 2)
+    if w_seg != w:
+        lane = jax.lax.rem(lane, w_seg)
+
+    @pl.when(z < d)
+    def _():
+        strip_dma(0, 0).start()
+
+        def strip_body(j, _):
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < nj)
+            def _():
+                strip_dma(1 - slot, j + 1).start()
+
+            strip_dma(slot, j).wait()
+            _build_rhs(slab[slot], rhs, lane, bh=bh, cin=cin, w=w, w_seg=w_seg)
+            y = jax.lax.dot_general(
+                w_ref[...],
+                rhs[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for dz in range(3):
+                o = z + 1 - dz  # output plane this dz block feeds
+
+                @pl.when(jnp.logical_and(o >= 0, o < d))
+                def _(dz=dz, o=o):
+                    so = jax.lax.rem(o, 3)
+                    for h in range(bh):
+                        acc[so, j * bh + h] += y[
+                            dz * cout : (dz + 1) * cout, h * w : (h + 1) * w
+                        ]
+
+            return 0
+
+        jax.lax.fori_loop(0, nj, strip_body, 0)
+
+    # output plane z-1 is now complete: flush and recycle its slot
+    # ((z+2) % 3 == (z-1) % 3 without negative arithmetic). At z == 0 the
+    # slot is all-zero and the block lands on plane 0, which step z == 1
+    # rewrites with the real plane 0.
+    sf = jax.lax.rem(z + 2, 3)
+    out_ref[0, 0] = acc[sf].astype(out_ref.dtype)
+    acc[sf] = jnp.zeros_like(acc[sf])
+
+
+def conv3d_tlayout_fused(
+    x_t: jnp.ndarray, kernel: jnp.ndarray, bh: int = None
+) -> jnp.ndarray:
+    """v2: 3-D conv (k3 s1 SAME) in ONE Pallas kernel — the depth
+    shift-add accumulates in VMEM across sequential z grid steps.
+
+    x_t: [N, D, H, Cin, W] (T-layout, W % 128 == 0); kernel:
+    [3, 3, 3, Cin, Cout] (DHWIO). Returns [N, D, H, Cout, W].
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d, h, cin, w = x_t.shape
+    cout = kernel.shape[-1]
+    assert kernel.shape[:3] == (3, 3, 3), "k3 only"
+    assert w % 128 == 0, "v2 covers lane-aligned W; folded shapes use v1"
+    if bh is None:
+        import os
+
+        bh = int(os.environ.get("GMIST_TLAYOUT_BH", "8"))
+    if h % bh != 0:
+        bh = next(b for b in range(min(bh, h), 0, -1) if h % b == 0)
+
+    xp = jnp.pad(x_t, ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)))
+    w_flat = kernel.transpose(0, 4, 1, 2, 3).reshape(3 * cout, 9 * cin)
+
+    # H-chunk: the f32 accumulator (3 x [hc, Cout, W]) is the big VMEM
+    # tenant — size hc so it stays near ~6MB, multiple of bh
+    acc_row = 3 * cout * w * 4
+    hc = max(bh, min(h, (6 << 20) // max(acc_row, 1) // bh * bh))
+    while h % hc != 0:
+        hc -= bh
+    assert hc >= bh and hc % bh == 0 and h % hc == 0, (h, bh, hc)
+
+    kern = partial(
+        _kernel_fused, bh=bh, cin=cin, cout=cout, w=w, w_seg=w, hc=hc, d=d
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, d, h, cout, w), x_t.dtype),
+        grid=(n, h // hc, d + 1),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, manual DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, hc, cout, w),
+            lambda i, c, z: (i, jax.lax.max(z - 1, 0), c, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 2, cin, w), x_t.dtype),  # double-buffered
+            pltpu.VMEM((9 * cin, bh * w), x_t.dtype),
+            pltpu.VMEM((3, hc, cout, w), jnp.float32),  # revolving depth acc
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_INTERPRET,
+    )(xp, w_flat.astype(x_t.dtype))
 
 
 def _shift_add_depth(y_pre: jnp.ndarray, cout: int, out_dtype) -> jnp.ndarray:
@@ -215,10 +394,147 @@ def conv3d_tlayout(x_t: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """3-D conv, k=3, stride 1, SAME, T-layout.
 
     x_t: [N, D, H, Cin, W]; kernel: [3,3,3,Cin,Cout] -> [N, D, H, Cout, W].
+
+    GMIST_TLAYOUT_V2=1 routes lane-aligned (W%128) shapes through the v2
+    fused kernel (depth shift-add accumulated in VMEM — no y_pre HBM
+    round trip); default and folded W<128 shapes use the v1 two-phase
+    form. The HW A/B (scripts/bench_tlayout_conv.py) decides the promote.
     """
+    import os
+
+    if os.environ.get("GMIST_TLAYOUT_V2") and x_t.shape[-1] % 128 == 0:
+        return conv3d_tlayout_fused(x_t, kernel)
     cout = kernel.shape[-1]
     y_pre = conv2d_tapcols_tlayout(x_t, kernel)
     return _shift_add_depth(y_pre, cout, x_t.dtype)
+
+
+def _wgrad_kernel(
+    x_ref, g_ref, out_ref, slab, gbuf, rhs, sem_x, sem_g, *, bh, cin, cout, w, d
+):
+    """dw accumulation: per (n, z) grid step, rebuild the fwd's im2col rhs
+    per bh-strip and accumulate, for each depth tap dz, g[z-dz+1] @ rhs^T
+    into the [3*Cout, 9*Cin] output block (constant index_map — the block
+    stays resident and sums across the whole grid). Double-buffered x and
+    g DMAs like the forward kernel. Out-of-range depth taps are fetched
+    clamped and zeroed by a validity multiplier (cheaper than in-kernel
+    control flow around the DMA)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pl.program_id(0)
+    z = pl.program_id(1)
+    nj = g_ref.shape[2] // bh  # strips per depth slice (static)
+
+    def x_dma(slot, j):
+        return pltpu.make_async_copy(
+            x_ref.at[n, z, pl.ds(j * bh, bh + 2)], slab.at[slot], sem_x.at[slot]
+        )
+
+    def g_dma(slot, dz, j):
+        zg = jnp.clip(z - dz + 1, 0, d - 1)
+        return pltpu.make_async_copy(
+            g_ref.at[n, zg, pl.ds(j * bh, bh)],
+            gbuf.at[slot, dz],
+            sem_g.at[slot, dz],
+        )
+
+    def start_all(slot, j):
+        x_dma(slot, j).start()
+        for dz in range(3):
+            g_dma(slot, dz, j).start()
+
+    start_all(0, 0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, cin, w), 2)
+    valid = [
+        jnp.logical_and(z - dz + 1 >= 0, z - dz + 1 < d).astype(jnp.float32)
+        for dz in range(3)
+    ]
+
+    def strip_body(j, acc):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < nj)
+        def _():
+            start_all(1 - slot, j + 1)
+
+        x_dma(slot, j).wait()
+        _build_rhs(slab[slot], rhs, lane, bh=bh, cin=cin, w=w, w_seg=w)
+        for dz in range(3):
+            g_dma(slot, dz, j).wait()
+        parts = []
+        for dz in range(3):
+            part = jnp.zeros((cout, 9 * cin), jnp.float32)
+            for h in range(bh):
+                # [Cout, W] x [9*Cin, W] contracted on W (lanes)
+                part = part + jax.lax.dot_general(
+                    gbuf[slot, dz, h],
+                    rhs[:, h * w : (h + 1) * w],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            parts.append(part * valid[dz])
+        return acc + jnp.concatenate(parts, axis=0)
+
+    acc = jax.lax.fori_loop(
+        0, nj, strip_body, jnp.zeros((3 * cout, 9 * cin), jnp.float32)
+    )
+
+    @pl.when(jnp.logical_and(n == 0, z == 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += acc
+
+
+def wgrad_tapcols_tlayout(
+    x_t: jnp.ndarray, g: jnp.ndarray, bh: int = None
+) -> jnp.ndarray:
+    """Weight gradient in Pallas: same T-layout im2col as the forward,
+    accumulating ``g[z-dz+1] @ rhs(z)^T`` over the whole grid.
+
+    x_t: [N, D, H, Cin, W]; g: [N, D, H, Cout, W] (cotangent of the conv
+    output). Returns dw [3, 3, 3, Cin, Cout] in f32. W%128 only — the
+    depth-tap pairing crosses fold boundaries, so lane-folded shapes keep
+    the XLA wgrad (`_wgrad_tlayout`)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d, h, cin, w = x_t.shape
+    cout = g.shape[3]
+    assert w % 128 == 0, "folded shapes use the XLA wgrad"
+    if bh is None:
+        import os
+
+        bh = int(os.environ.get("GMIST_TLAYOUT_BH", "8"))
+    if h % bh != 0:
+        bh = next(b for b in range(min(bh, h), 0, -1) if h % b == 0)
+
+    xp = jnp.pad(x_t, ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)))
+    kern = partial(_wgrad_kernel, bh=bh, cin=cin, cout=cout, w=w, d=d)
+    dw_flat = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((3 * cout, 9 * cin), jnp.float32),
+        grid=(n, d),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (3 * cout, 9 * cin), lambda i, z: (0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 2, cin, w), x_t.dtype),
+            pltpu.VMEM((2, 3, bh, cout, w), g.dtype),
+            pltpu.VMEM((9 * cin, bh * w), x_t.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=_INTERPRET,
+    )(xp, g)
+    # rows (dz, co), cols (dy, dx, ci) -> [dz, dy, dx, ci, co]
+    return dw_flat.reshape(3, cout, 3, 3, cin).transpose(0, 2, 3, 4, 1)
 
 
 def _wgrad_tlayout(x_t: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
@@ -244,13 +560,24 @@ def _conv3d_tlayout_fwd(x_t, kernel):
 
 
 def _conv3d_tlayout_bwd(res, g):
+    import os
+
     x_t, kernel = res
     # dgrad: correlate g with the spatially flipped, channel-transposed
     # kernel — the same Pallas kernel again (s1k3 SAME is self-adjoint)
     k_flip = jnp.flip(kernel, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
     dx = conv3d_tlayout(g.astype(x_t.dtype), k_flip)
-    dw = _wgrad_tlayout(x_t, g)  # "NDHCW" out: [ci, kz, ky, co, kx]
-    dw = dw.transpose(1, 2, 4, 0, 3).astype(kernel.dtype)  # [kz,ky,kx,ci,co]
+    # wgrad: GMIST_TLAYOUT_WGRAD=pallas re-uses the im2col kernel
+    # (all-Pallas bwd); default is the relabeled-dims XLA conv — the HW
+    # A/B (scripts/bench_tlayout_conv.py) decides which to promote
+    if (
+        os.environ.get("GMIST_TLAYOUT_WGRAD", "xla") == "pallas"
+        and x_t.shape[-1] % 128 == 0
+    ):
+        dw = wgrad_tapcols_tlayout(x_t, g.astype(x_t.dtype)).astype(kernel.dtype)
+    else:
+        dwx = _wgrad_tlayout(x_t, g)  # "NDHCW" out: [ci, kz, ky, co, kx]
+        dw = dwx.transpose(1, 2, 4, 0, 3).astype(kernel.dtype)  # [kz,ky,kx,ci,co]
     return dx.astype(x_t.dtype), dw
 
 

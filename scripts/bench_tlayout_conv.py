@@ -39,6 +39,64 @@ SHAPES = [
 ]
 
 
+def probe_compile(timeout=900):
+    """Compile + run the kernel once in a SUBPROCESS with a timeout: a
+    Mosaic reject/hang is a *possible outcome* (r1 precedent: roll-based
+    shift variants hung the remote compile) and must not eat the whole
+    hw session. Returns (ok, diagnosis)."""
+    import subprocess
+
+    code = (
+        "import sys; sys.path.insert(0, '.');\n"
+        "import jax, jax.numpy as jnp, numpy as np\n"
+        "from general_medical_image_segmentation_cnn_framework_tpu.ops import pallas_tlayout as p\n"
+        "r = np.random.default_rng(0)\n"
+        "for w, cin in ((128, 32), (64, 64)):  # plain + lane-folded\n"
+        "    x = jnp.asarray(r.normal(size=(1, 4, 8, w, cin)), jnp.bfloat16)\n"
+        "    k = jnp.asarray(r.normal(size=(3, 3, 3, cin, 8)), jnp.bfloat16)\n"
+        "    y = p.conv3d_tlayout(p.to_tlayout(x), k)\n"
+        "    print('probe ok', w, float(jnp.sum(y.astype(jnp.float32))), flush=True)\n"
+        "x_t = p.to_tlayout(jnp.asarray(r.normal(size=(1, 4, 8, 128, 32)), jnp.bfloat16))\n"
+        "g_t = p.to_tlayout(jnp.asarray(r.normal(size=(1, 4, 8, 128, 8)), jnp.bfloat16))\n"
+        "dw = p.wgrad_tapcols_tlayout(x_t, g_t)\n"
+        "print('probe ok wgrad', float(jnp.sum(dw)), flush=True)\n"
+        "k8 = jnp.asarray(r.normal(size=(3, 3, 3, 32, 8)), jnp.bfloat16)\n"
+        "y2 = p.conv3d_tlayout_fused(x_t, k8)\n"
+        "print('probe ok v2', float(jnp.sum(y2.astype(jnp.float32))), flush=True)\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout,
+            capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired as e:
+        return False, (
+            f"MOSAIC COMPILE HANG (>{timeout}s). partial output:\n"
+            f"{(e.stdout or b'').decode(errors='replace') if isinstance(e.stdout, bytes) else e.stdout}\n"
+            f"{(e.stderr or b'').decode(errors='replace') if isinstance(e.stderr, bytes) else e.stderr}"
+        )
+    if r.returncode != 0:
+        return False, f"MOSAIC REJECT rc={r.returncode}:\n{r.stderr[-3000:]}"
+    return True, r.stdout.strip()
+
+
+def bh_sweep(s=128, cin=32, cout=32, dtype=jnp.bfloat16):
+    """Block-height knob for the flagship shape: fwd-only, explicit bh
+    (the custom-VJP wrapper reads GMIST_TLAYOUT_BH at trace time, which
+    jit caching would mask in-process)."""
+    r = np.random.default_rng(0)
+    x_t = pallas_tlayout.to_tlayout(jnp.asarray(r.normal(size=(1, s, s, s, cin)), dtype))
+    k = jnp.asarray(r.normal(size=(3, 3, 3, cin, cout)) * 0.1, dtype)
+    for bh in (2, 4, 8, 16, 32):
+        fn = jax.jit(
+            lambda x_t, k, bh=bh: pallas_tlayout._shift_add_depth(
+                pallas_tlayout.conv2d_tapcols_tlayout(x_t, k, bh=bh), cout, x_t.dtype
+            )
+        )
+        t = timed(fn, (x_t, k), n=5)
+        print(f"bh_sweep {s}^3 {cin}->{cout} bh={bh}: {t * 1e3:.2f}ms", flush=True)
+
+
 def timed(fn, args, n=10):
     out = fn(*args)
     _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
@@ -71,6 +129,8 @@ def make_variants(s, cin, cout, dtype):
         ),
         "tl": (jax.jit(pallas_tlayout.conv3d_tlayout), (x_t, k)),
     }
+    if s % 128 == 0:  # v2 fused (in-VMEM depth accumulation), W%128 only
+        fwd["tl2"] = (jax.jit(pallas_tlayout.conv3d_tlayout_fused), (x_t, k))
 
     def g_xla(x, k):
         return jax.grad(lambda x, k: jnp.sum(conv3d_tapgrouped(x, k) * ct), (0, 1))(x, k)
@@ -92,12 +152,37 @@ def make_variants(s, cin, cout, dtype):
         "tl+tr": (jax.jit(g_tltr), (x, k)),
         "tl": (jax.jit(g_tl), (x_t, k)),
     }
+    if s % 128 == 0:
+        # v2 dispatch is read from the env at TRACE time, which happens on
+        # the wrapped fn's first call — set it around every invocation
+        import os
+
+        def g_tl2(x_t, k, _jit=jax.jit(lambda a, b: g_tl(a, b))):
+            old = os.environ.get("GMIST_TLAYOUT_V2")
+            os.environ["GMIST_TLAYOUT_V2"] = "1"
+            try:
+                return _jit(x_t, k)
+            finally:
+                if old is None:
+                    os.environ.pop("GMIST_TLAYOUT_V2", None)
+                else:
+                    os.environ["GMIST_TLAYOUT_V2"] = old
+
+        fb["tl2"] = (g_tl2, (x_t, k))
     return fwd, fb
 
 
+ENV_VARIANTS = {
+    "off": {},
+    "v1": {"GMIST_TLAYOUT_CONV": "1"},
+    "v2": {"GMIST_TLAYOUT_CONV": "1", "GMIST_TLAYOUT_V2": "1"},
+}
+
+
 def step_ab(network, patch, n=8):
-    """Full-train-step paired A/B: GMIST_TLAYOUT_CONV off vs on (fresh jit
-    per variant; the env flag is read at trace time inside TorchConv)."""
+    """Full-train-step paired A/B: conv routing off / tlayout-v1 /
+    tlayout-v2-fused (fresh jit per variant; the env flags are read at
+    trace time inside TorchConv / conv3d_tlayout)."""
     import os
 
     import bench
@@ -108,10 +193,10 @@ def step_ab(network, patch, n=8):
     )
 
     res = {}
-    for variant in ("off", "on"):
-        os.environ.pop("GMIST_TLAYOUT_CONV", None)
-        if variant == "on":
-            os.environ["GMIST_TLAYOUT_CONV"] = "1"
+    for variant, env in ENV_VARIANTS.items():
+        for key in ("GMIST_TLAYOUT_CONV", "GMIST_TLAYOUT_V2"):
+            os.environ.pop(key, None)
+        os.environ.update(env)
         config = bench._config(network, patch)
         model = build_model(config)
         rng = jax.random.PRNGKey(0)
@@ -129,10 +214,12 @@ def step_ab(network, patch, n=8):
             params, stats, opt, loss, dice = step(params, stats, opt, x, y, rng)
         _ = float(loss)
         res[variant] = (time.perf_counter() - t0) / n * 1e3
-    os.environ.pop("GMIST_TLAYOUT_CONV", None)
+    for key in ("GMIST_TLAYOUT_CONV", "GMIST_TLAYOUT_V2"):
+        os.environ.pop(key, None)
     print(
-        f"{network}_{patch} step: off={res['off']:.1f}ms on={res['on']:.1f}ms "
-        f"({res['off'] / res['on']:.2f}x)",
+        f"{network}_{patch} step: "
+        + " ".join(f"{v}={t:.1f}ms" for v, t in res.items())
+        + f" (v1 {res['off'] / res['v1']:.2f}x, v2 {res['off'] / res['v2']:.2f}x)",
         flush=True,
     )
 
@@ -140,12 +227,36 @@ def step_ab(network, patch, n=8):
 def main():
     global SHAPES
     dtype = jnp.bfloat16
+    if "--step-ab" in sys.argv:
+        # bench.py extras mode: compile-probe the kernel in a subprocess
+        # (a Mosaic hang must cost this probe, not the driver's bench),
+        # then paired off/on full-train-step A/Bs on the two families the
+        # r3 roofline says are conv-traffic-bound. Exit 0 either way; the
+        # caller parses the "step:" lines and logs everything else.
+        print(f"backend={jax.default_backend()}")
+        ok, diag = probe_compile()
+        print(f"compile probe: {diag}", flush=True)
+        if ok:
+            step_ab("unet", 128)
+            step_ab("unetr", 128, n=5)
+        return
     if "--smoke" in sys.argv:  # CPU structure check (interpret mode, tiny)
         jax.config.update("jax_platforms", "cpu")
         pallas_tlayout._INTERPRET = True
         dtype = jnp.float32
         SHAPES = [("smoke_8_32to32", 8, 32, 32)]
     print(f"backend={jax.default_backend()} dtype={dtype.__name__}")
+    if "--smoke" not in sys.argv:
+        ok, diag = probe_compile()
+        print(f"compile probe: {diag}", flush=True)
+        if not ok:
+            print(
+                "kernel does not compile on this backend — record the error "
+                "string above in BASELINE.md (VERDICT r3 #3 closure) and keep "
+                "the XLA tap-grouped default.",
+                flush=True,
+            )
+            return
     for name, s, cin, cout in SHAPES:
         fwd, fb = make_variants(s, cin, cout, dtype)
         for tag, table in (("fwd", fwd), ("fwd+bwd", fb)):
@@ -160,6 +271,7 @@ def main():
     if "--smoke" in sys.argv:
         step_ab("unet", 16, n=1)  # structure check (W=16 -> both paths XLA)
     else:
+        bh_sweep()
         # end-to-end: the flagship step and the UNETR decoder pyramid
         # (91.6% of its step is these conv shapes — r3 transformer profile)
         step_ab("unet", 128)

@@ -117,6 +117,102 @@ def test_conv3d_tlayout_folded_vjp_matches_xla():
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref), atol=3e-3)
 
 
+@pytest.mark.parametrize("shape,cin,cout,bh", [((1, 4, 6, 128), 32, 16, 3),
+                                               ((2, 3, 8, 256), 32, 8, 4)])
+def test_wgrad_pallas_matches_xla(shape, cin, cout, bh):
+    """The Pallas wgrad (im2col rebuild + grid-accumulated g @ rhs^T)
+    equals the relabeled-dims XLA conv wgrad."""
+    n, d, h, w = shape
+    x_t = pallas_tlayout.to_tlayout(jnp.asarray(_rand((n, d, h, w, cin), seed=21)))
+    g_t = pallas_tlayout.to_tlayout(jnp.asarray(_rand((n, d, h, w, cout), seed=22)))
+    want = pallas_tlayout._wgrad_tlayout(x_t, g_t).transpose(1, 2, 4, 0, 3)
+    got = pallas_tlayout.wgrad_tapcols_tlayout(x_t, g_t, bh=bh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
+
+
+def test_vjp_with_pallas_wgrad_matches_xla(monkeypatch):
+    """End-to-end custom VJP with GMIST_TLAYOUT_WGRAD=pallas equals plain
+    XLA autodiff (both grads)."""
+    monkeypatch.setenv("GMIST_TLAYOUT_WGRAD", "pallas")
+    n, d, h, w, cin, cout = 1, 3, 4, 128, 32, 8
+    x = jnp.asarray(_rand((n, d, h, w, cin), seed=23))
+    k = jnp.asarray(_rand((3, 3, 3, cin, cout), seed=24) * 0.2)
+    ct = jnp.asarray(_rand((n, d, h, w, cout), seed=25))
+
+    def ref_loss(x, k):
+        return jnp.sum(conv3d_decomposed(x, k) * ct)
+
+    def got_loss(x, k):
+        y = pallas_tlayout.conv3d_tlayout(pallas_tlayout.to_tlayout(x), k)
+        return jnp.sum(y * pallas_tlayout.to_tlayout(ct))
+
+    gx_ref, gk_ref = jax.grad(ref_loss, argnums=(0, 1))(x, k)
+    gx, gk = jax.grad(got_loss, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref), atol=3e-3)
+
+
+@pytest.mark.parametrize(
+    "shape,cin,cout,bh",
+    [
+        ((1, 6, 8, 128), 32, 32, 4),
+        ((2, 4, 8, 128), 32, 16, 8),
+        ((1, 5, 6, 256), 64, 8, 3),
+        ((1, 3, 12, 128), 32, 8, 4),  # hc < h (multi-chunk grid)
+    ],
+)
+def test_conv3d_tlayout_fused_matches_decomposed(shape, cin, cout, bh):
+    """v2 (in-VMEM depth accumulation, single kernel) == XLA conv."""
+    n, d, h, w = shape
+    x = _rand((n, d, h, w, cin), seed=31)
+    k = _rand((3, 3, 3, cin, cout), seed=32) * 0.2
+    want = conv3d_decomposed(jnp.asarray(x), jnp.asarray(k))
+    x_t = pallas_tlayout.to_tlayout(jnp.asarray(x))
+    got_t = pallas_tlayout.conv3d_tlayout_fused(x_t, jnp.asarray(k), bh=bh)
+    got = pallas_tlayout.from_tlayout(got_t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_conv3d_tlayout_fused_single_depth():
+    """d=1 edge: both depth neighbors out of range every step."""
+    x = _rand((1, 1, 4, 128, 32), seed=33)
+    k = _rand((3, 3, 3, 32, 8), seed=34) * 0.2
+    want = conv3d_decomposed(jnp.asarray(x), jnp.asarray(k))
+    got = pallas_tlayout.from_tlayout(
+        pallas_tlayout.conv3d_tlayout_fused(
+            pallas_tlayout.to_tlayout(jnp.asarray(x)), jnp.asarray(k), bh=2
+        )
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_conv3d_tlayout_v2_env_dispatch(monkeypatch):
+    """GMIST_TLAYOUT_V2=1 routes conv3d_tlayout through the fused kernel
+    (W%128 only) with identical results and working custom-VJP grads."""
+    monkeypatch.setenv("GMIST_TLAYOUT_V2", "1")
+    n, d, h, w, cin, cout = 1, 4, 4, 128, 32, 8
+    x = jnp.asarray(_rand((n, d, h, w, cin), seed=35))
+    k = jnp.asarray(_rand((3, 3, 3, cin, cout), seed=36) * 0.2)
+    ct = jnp.asarray(_rand((n, d, h, w, cout), seed=37))
+    want = conv3d_decomposed(x, k)
+    got = pallas_tlayout.from_tlayout(
+        pallas_tlayout.conv3d_tlayout(pallas_tlayout.to_tlayout(x), k)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+    def ref_loss(x, k):
+        return jnp.sum(conv3d_decomposed(x, k) * ct)
+
+    def got_loss(x, k):
+        y = pallas_tlayout.conv3d_tlayout(pallas_tlayout.to_tlayout(x), k)
+        return jnp.sum(y * pallas_tlayout.to_tlayout(ct))
+
+    gx_ref, gk_ref = jax.grad(ref_loss, argnums=(0, 1))(x, k)
+    gx, gk = jax.grad(got_loss, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref), atol=3e-3)
+
+
 def test_torchconv_tlayout_routing_matches_default(monkeypatch):
     """GMIST_TLAYOUT_CONV routes eligible TorchConvs (SAME k3s1, Cin%32,
     W%128) through the Pallas kernel with an IDENTICAL param tree and
