@@ -246,6 +246,14 @@ def _kernel_fused(
     plane z-1 is complete: flush it to the grid-mapped out block and zero
     its slot for reuse as plane z+2. Step z == d only flushes plane d-1.
 
+    Folded shapes (w_seg < w, fold f = w//w_seg: f consecutive depth
+    slices ride side-by-side in lanes): a dz=0/dz=2 contribution is a
+    per-h lane ROLL by ±w_seg — the non-wrapped segments stay in this
+    plane-group (depth neighbor within the fold), the wrapped segment is
+    exactly the carry into plane-group z±1. With f == 1 the roll is the
+    identity and the carry mask covers everything, which reduces to the
+    plain full-block adds.
+
     Traffic: input read once, output written once — v1 pays an extra
     3x-write + 3x-read y_pre round trip through HBM for the XLA
     shift-add epilogue."""
@@ -256,6 +264,7 @@ def _kernel_fused(
     c = pl.program_id(1)
     z = pl.program_id(2)
     nj = hc // bh  # strips per chunk (static)
+    fold = w // w_seg
 
     def strip_dma(slot, j):
         return pltpu.make_async_copy(
@@ -271,6 +280,16 @@ def _kernel_fused(
     lane = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, cin, w), 2)
     if w_seg != w:
         lane = jax.lax.rem(lane, w_seg)
+
+    # lane index over one [Cout, w] y-row, for the fold carry masks
+    ylane = jax.lax.broadcasted_iota(jnp.int32, (cout, w), 1)
+
+    def add_guarded(o, j, h, val):
+        """acc[o % 3, row] += val, iff output plane o is in range."""
+
+        @pl.when(jnp.logical_and(o >= 0, o < d))
+        def _():
+            acc[jax.lax.rem(o, 3), j * bh + h] += val
 
     @pl.when(z < d)
     def _():
@@ -292,15 +311,24 @@ def _kernel_fused(
                 preferred_element_type=jnp.float32,
             )
             for dz in range(3):
-                o = z + 1 - dz  # output plane this dz block feeds
-
-                @pl.when(jnp.logical_and(o >= 0, o < d))
-                def _(dz=dz, o=o):
-                    so = jax.lax.rem(o, 3)
-                    for h in range(bh):
-                        acc[so, j * bh + h] += y[
-                            dz * cout : (dz + 1) * cout, h * w : (h + 1) * w
-                        ]
+                for h in range(bh):
+                    blk = y[dz * cout : (dz + 1) * cout, h * w : (h + 1) * w]
+                    if dz == 1:  # same depth: same group, same segment
+                        add_guarded(z, j, h, blk)
+                    elif fold == 1:
+                        # whole block carries to the neighboring plane
+                        add_guarded(z + 1 - dz, j, h, blk)
+                    elif dz == 0:
+                        # depth z+1: segment s -> s+1; wrap = carry to z+1
+                        r = pltpu.roll(blk, shift=w_seg, axis=1)
+                        add_guarded(z, j, h, jnp.where(ylane >= w_seg, r, 0))
+                        add_guarded(z + 1, j, h, jnp.where(ylane < w_seg, r, 0))
+                    else:  # dz == 2
+                        # depth z-1: segment s -> s-1; wrap = carry to z-1
+                        r = pltpu.roll(blk, shift=w - w_seg, axis=1)
+                        lim = w - w_seg
+                        add_guarded(z, j, h, jnp.where(ylane < lim, r, 0))
+                        add_guarded(z - 1, j, h, jnp.where(ylane >= lim, r, 0))
 
             return 0
 
@@ -321,8 +349,10 @@ def conv3d_tlayout_fused(
     """v2: 3-D conv (k3 s1 SAME) in ONE Pallas kernel — the depth
     shift-add accumulates in VMEM across sequential z grid steps.
 
-    x_t: [N, D, H, Cin, W] (T-layout, W % 128 == 0); kernel:
-    [3, 3, 3, Cin, Cout] (DHWIO). Returns [N, D, H, Cout, W].
+    x_t: [N, D, H, Cin, W] (T-layout); kernel: [3, 3, 3, Cin, Cout]
+    (DHWIO). Returns [N, D, H, Cout, W]. W < 128 goes through the same
+    depth-slice lane folding as v1; the kernel's fold-carry rolls keep
+    the cross-depth accumulation exact across fold segments.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -330,13 +360,26 @@ def conv3d_tlayout_fused(
     n, d, h, cin, w = x_t.shape
     cout = kernel.shape[-1]
     assert kernel.shape[:3] == (3, 3, 3), "k3 only"
-    assert w % 128 == 0, "v2 covers lane-aligned W; folded shapes use v1"
     if bh is None:
         import os
 
         bh = int(os.environ.get("GMIST_TLAYOUT_BH", "8"))
     if h % bh != 0:
         bh = next(b for b in range(min(bh, h), 0, -1) if h % b == 0)
+
+    w_seg, fold, d_k = w, 1, d
+    if w % 128 != 0:
+        assert w >= 32 and 128 % w == 0 and d % (128 // w) == 0, (
+            "v2 folding needs W in {32, 64} with D % (128//W) == 0"
+        )
+        fold = 128 // w
+        x_t = (
+            x_t.reshape(n, d // fold, fold, h, cin, w)
+            .transpose(0, 1, 3, 4, 2, 5)
+            .reshape(n, d // fold, h, cin, fold * w)
+        )
+        d_k = d // fold
+        w = fold * w
 
     xp = jnp.pad(x_t, ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)))
     w_flat = kernel.transpose(0, 4, 1, 2, 3).reshape(3 * cout, 9 * cin)
@@ -350,12 +393,12 @@ def conv3d_tlayout_fused(
     assert hc >= bh and hc % bh == 0 and h % hc == 0, (h, bh, hc)
 
     kern = partial(
-        _kernel_fused, bh=bh, cin=cin, cout=cout, w=w, w_seg=w, hc=hc, d=d
+        _kernel_fused, bh=bh, cin=cin, cout=cout, w=w, w_seg=w_seg, hc=hc, d=d_k
     )
-    return pl.pallas_call(
+    y = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n, d, h, cout, w), x_t.dtype),
-        grid=(n, h // hc, d + 1),
+        out_shape=jax.ShapeDtypeStruct((n, d_k, h, cout, w), x_t.dtype),
+        grid=(n, h // hc, d_k + 1),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -373,6 +416,13 @@ def conv3d_tlayout_fused(
         ],
         interpret=_INTERPRET,
     )(xp, w_flat.astype(x_t.dtype))
+    if fold > 1:
+        y = (
+            y.reshape(n, d_k, h, cout, fold, w_seg)
+            .transpose(0, 1, 4, 2, 3, 5)
+            .reshape(n, d, h, cout, w_seg)
+        )
+    return y
 
 
 def _shift_add_depth(y_pre: jnp.ndarray, cout: int, out_dtype) -> jnp.ndarray:
@@ -395,14 +445,14 @@ def conv3d_tlayout(x_t: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
 
     x_t: [N, D, H, Cin, W]; kernel: [3,3,3,Cin,Cout] -> [N, D, H, Cout, W].
 
-    GMIST_TLAYOUT_V2=1 routes lane-aligned (W%128) shapes through the v2
-    fused kernel (depth shift-add accumulated in VMEM — no y_pre HBM
-    round trip); default and folded W<128 shapes use the v1 two-phase
+    GMIST_TLAYOUT_V2=1 routes through the v2 fused kernel (depth
+    shift-add accumulated in VMEM — no y_pre HBM round trip; folded
+    W<128 shapes use fold-carry lane rolls); default is the v1 two-phase
     form. The HW A/B (scripts/bench_tlayout_conv.py) decides the promote.
     """
     import os
 
-    if os.environ.get("GMIST_TLAYOUT_V2") and x_t.shape[-1] % 128 == 0:
+    if os.environ.get("GMIST_TLAYOUT_V2"):
         return conv3d_tlayout_fused(x_t, kernel)
     cout = kernel.shape[-1]
     y_pre = conv2d_tapcols_tlayout(x_t, kernel)

@@ -63,6 +63,9 @@ def probe_compile(timeout=900):
         "k8 = jnp.asarray(r.normal(size=(3, 3, 3, 32, 8)), jnp.bfloat16)\n"
         "y2 = p.conv3d_tlayout_fused(x_t, k8)\n"
         "print('probe ok v2', float(jnp.sum(y2.astype(jnp.float32))), flush=True)\n"
+        "xf = p.to_tlayout(jnp.asarray(r.normal(size=(1, 4, 8, 64, 32)), jnp.bfloat16))\n"
+        "y3 = p.conv3d_tlayout_fused(xf, k8)\n"
+        "print('probe ok v2fold', float(jnp.sum(y3.astype(jnp.float32))), flush=True)\n"
     )
     try:
         r = subprocess.run(
@@ -129,7 +132,8 @@ def make_variants(s, cin, cout, dtype):
         ),
         "tl": (jax.jit(pallas_tlayout.conv3d_tlayout), (x_t, k)),
     }
-    if s % 128 == 0:  # v2 fused (in-VMEM depth accumulation), W%128 only
+    v2_ok = pallas_tlayout.supported(cin, cout, s, dtype, d=s)
+    if v2_ok:  # v2 fused (in-VMEM depth accumulation; folded for W<128)
         fwd["tl2"] = (jax.jit(pallas_tlayout.conv3d_tlayout_fused), (x_t, k))
 
     def g_xla(x, k):
@@ -152,7 +156,7 @@ def make_variants(s, cin, cout, dtype):
         "tl+tr": (jax.jit(g_tltr), (x, k)),
         "tl": (jax.jit(g_tl), (x_t, k)),
     }
-    if s % 128 == 0:
+    if v2_ok:
         # v2 dispatch is read from the env at TRACE time, which happens on
         # the wrapped fn's first call — set it around every invocation
         import os

@@ -173,6 +173,58 @@ def test_conv3d_tlayout_fused_matches_decomposed(shape, cin, cout, bh):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
+@pytest.mark.parametrize(
+    "shape,cin,cout,bh",
+    [
+        ((1, 6, 8, 64), 32, 32, 4),  # fold=2 (enc2-like)
+        ((2, 4, 8, 32), 32, 16, 8),  # fold=4
+        ((1, 8, 6, 64), 64, 8, 3),  # fold=2, odd bh
+        ((1, 8, 8, 32), 32, 8, 4),  # fold=4, two plane-groups (carry path)
+    ],
+)
+def test_conv3d_tlayout_fused_folded_matches_decomposed(shape, cin, cout, bh):
+    """v2 folded: the fold-carry lane rolls make the in-VMEM depth
+    accumulation exact across fold segments AND plane-group boundaries."""
+    n, d, h, w = shape
+    x = _rand((n, d, h, w, cin), seed=41)
+    k = _rand((3, 3, 3, cin, cout), seed=42) * 0.2
+    want = conv3d_decomposed(jnp.asarray(x), jnp.asarray(k))
+    x_t = pallas_tlayout.to_tlayout(jnp.asarray(x))
+    got_t = pallas_tlayout.conv3d_tlayout_fused(x_t, jnp.asarray(k), bh=bh)
+    got = pallas_tlayout.from_tlayout(got_t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_conv3d_tlayout_fused_folded_vjp(monkeypatch):
+    """Folded v2 under the env dispatch: fwd + both grads vs XLA."""
+    monkeypatch.setenv("GMIST_TLAYOUT_V2", "1")
+    n, d, h, w, cin, cout = 1, 4, 4, 64, 32, 8
+    x = jnp.asarray(_rand((n, d, h, w, cin), seed=43))
+    k = jnp.asarray(_rand((3, 3, 3, cin, cout), seed=44) * 0.2)
+    ct = jnp.asarray(_rand((n, d, h, w, cout), seed=45))
+
+    def ref_loss(x, k):
+        return jnp.sum(conv3d_decomposed(x, k) * ct)
+
+    def got_loss(x, k):
+        y = pallas_tlayout.conv3d_tlayout(pallas_tlayout.to_tlayout(x), k)
+        return jnp.sum(y * pallas_tlayout.to_tlayout(ct))
+
+    np.testing.assert_allclose(
+        np.asarray(
+            pallas_tlayout.from_tlayout(
+                pallas_tlayout.conv3d_tlayout(pallas_tlayout.to_tlayout(x), k)
+            )
+        ),
+        np.asarray(conv3d_decomposed(x, k)),
+        atol=2e-4,
+    )
+    gx_ref, gk_ref = jax.grad(ref_loss, argnums=(0, 1))(x, k)
+    gx, gk = jax.grad(got_loss, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref), atol=3e-3)
+
+
 def test_conv3d_tlayout_fused_single_depth():
     """d=1 edge: both depth neighbors out of range every step."""
     x = _rand((1, 1, 4, 128, 32), seed=33)
