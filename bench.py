@@ -466,6 +466,17 @@ def main() -> None:
                         float(m.group(3 + i)),
                         "ms",
                     )
+            for m in re.finditer(
+                r"(\w+)_whole_volume infer: off=([\d.]+)vols/min "
+                r"v1=([\d.]+)vols/min v2=([\d.]+)vols/min",
+                out,
+            ):
+                for i, var in enumerate(("off", "v1", "v2")):
+                    yield (
+                        f"{m.group(1)}_whole_volume_infer_tlayout_{var}",
+                        float(m.group(2 + i)),
+                        "vols/min",
+                    )
 
         def parse_device_aug(out):
             med = _parse_medians(

@@ -533,8 +533,54 @@ class ConvBlock(nn.Module):
             and (_INTERPRET or jax.default_backend() == "tpu")
         )
 
+    def _tlayout_fused_eligible(self, x) -> bool:
+        """Eval-only single-kernel Conv+BN+ReLU via the v2 fused-depth
+        T-layout conv (GMIST_TLAYOUT_CONV=1 + GMIST_TLAYOUT_V2=1): BN is
+        folded into the weights and bias+ReLU ride the kernel's flush, so
+        the block costs one input read and one output write."""
+        import os
+
+        from ..ops import pallas_tlayout as ptl
+
+        n = x.ndim - 2
+        return (
+            os.environ.get("GMIST_TLAYOUT_CONV")
+            and os.environ.get("GMIST_TLAYOUT_V2")
+            and n == 3
+            and _to_tuple(self.kernel_size, n) == (3, 3, 3)
+            and _to_tuple(self.stride, n) == (1, 1, 1)
+            and _to_tuple(self.padding, n) == (1, 1, 1)
+            and _to_tuple(self.dilation, n) == (1, 1, 1)
+            and self.norm == "batch"
+            and self.act == "relu"
+            and ptl.supported(
+                x.shape[-1], self.features, x.shape[3], self.dtype, d=x.shape[1]
+            )
+            and (ptl._INTERPRET or jax.default_backend() == "tpu")
+        )
+
     @nn.compact
     def __call__(self, x, train: bool = True):
+        if not train and self._tlayout_fused_eligible(x):
+            from ..ops import pallas_tlayout as ptl
+            from ..ops.pallas_conv import fold_batchnorm
+
+            kernel, cbias = _ConvParams(
+                features=self.features,
+                kernel_size=(3, 3, 3),
+                use_bias=self.use_bias,
+                init_type=self.init_type,
+                name="TorchConv_0",
+            )(x.shape[-1])
+            scale, bbias, mean, var = _BNParams(name="BatchNorm_0")(self.features)
+            fk, fb = fold_batchnorm(kernel, cbias, scale, bbias, mean, var)
+            y_t = ptl.conv3d_tlayout_fused(
+                ptl.to_tlayout(x.astype(self.dtype)),
+                fk.astype(self.dtype),
+                bias=fb,
+                relu=True,
+            )
+            return ptl.from_tlayout(y_t)
         if self._pallas_eligible(x):
             from ..ops.pallas_conv import (
                 fold_batchnorm,

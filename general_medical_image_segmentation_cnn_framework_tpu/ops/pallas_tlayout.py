@@ -234,7 +234,8 @@ def conv2d_tapcols_tlayout(
 
 
 def _kernel_fused(
-    x_ref, w_ref, out_ref, slab, rhs, acc, sem, *, bh, cin, cout, w, w_seg, hc, d
+    x_ref, w_ref, b_ref, out_ref, slab, rhs, acc, sem,
+    *, bh, cin, cout, w, w_seg, hc, d, use_bias, relu,
 ):
     """v2 grid step = (n, H-chunk, z): the depth shift-add happens IN VMEM.
 
@@ -334,17 +335,28 @@ def _kernel_fused(
 
         jax.lax.fori_loop(0, nj, strip_body, 0)
 
-    # output plane z-1 is now complete: flush and recycle its slot
-    # ((z+2) % 3 == (z-1) % 3 without negative arithmetic). At z == 0 the
-    # slot is all-zero and the block lands on plane 0, which step z == 1
-    # rewrites with the real plane 0.
+    # output plane z-1 is now complete: flush (with the optional fused
+    # bias + ReLU epilogue — the BN-folded eval path's whole Conv+BN+ReLU
+    # then costs ONE output pass) and recycle the slot ((z+2) % 3 ==
+    # (z-1) % 3 without negative arithmetic). At z == 0 the slot is
+    # all-zero and the block lands on plane 0, which step z == 1 rewrites
+    # with the real plane 0.
     sf = jax.lax.rem(z + 2, 3)
-    out_ref[0, 0] = acc[sf].astype(out_ref.dtype)
+    val = acc[sf]
+    if use_bias:
+        val = val + b_ref[...]  # [hc, Cout, W] + [Cout, W]
+    if relu:
+        val = jnp.maximum(val, 0.0)
+    out_ref[0, 0] = val.astype(out_ref.dtype)
     acc[sf] = jnp.zeros_like(acc[sf])
 
 
 def conv3d_tlayout_fused(
-    x_t: jnp.ndarray, kernel: jnp.ndarray, bh: int = None
+    x_t: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bh: int = None,
+    bias: jnp.ndarray = None,
+    relu: bool = False,
 ) -> jnp.ndarray:
     """v2: 3-D conv (k3 s1 SAME) in ONE Pallas kernel — the depth
     shift-add accumulates in VMEM across sequential z grid steps.
@@ -353,6 +365,11 @@ def conv3d_tlayout_fused(
     (DHWIO). Returns [N, D, H, Cout, W]. W < 128 goes through the same
     depth-slice lane folding as v1; the kernel's fold-carry rolls keep
     the cross-depth accumulation exact across fold segments.
+
+    ``bias``/``relu`` fuse the epilogue into the flush (f32 add before
+    the output cast) — with BatchNorm folded into the weights this makes
+    eval Conv+BN+ReLU a single kernel with one output pass (inference
+    path; no VJP).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -392,8 +409,17 @@ def conv3d_tlayout_fused(
         hc -= bh
     assert hc >= bh and hc % bh == 0 and h % hc == 0, (h, bh, hc)
 
+    # bias tile [Cout, W]: lane-broadcast outside the kernel (a [Cout]
+    # 1-D operand is awkward in Mosaic); zeros when unused so the operand
+    # list is static
+    b_tile = (
+        jnp.broadcast_to(bias.astype(jnp.float32)[:, None], (cout, w))
+        if bias is not None
+        else jnp.zeros((cout, w), jnp.float32)
+    )
     kern = partial(
-        _kernel_fused, bh=bh, cin=cin, cout=cout, w=w, w_seg=w_seg, hc=hc, d=d_k
+        _kernel_fused, bh=bh, cin=cin, cout=cout, w=w, w_seg=w_seg, hc=hc,
+        d=d_k, use_bias=bias is not None, relu=relu,
     )
     y = pl.pallas_call(
         kern,
@@ -401,6 +427,7 @@ def conv3d_tlayout_fused(
         grid=(n, h // hc, d_k + 1),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, manual DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -415,7 +442,7 @@ def conv3d_tlayout_fused(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_INTERPRET,
-    )(xp, w_flat.astype(x_t.dtype))
+    )(xp, w_flat.astype(x_t.dtype), b_tile)
     if fold > 1:
         y = (
             y.reshape(n, d_k, h, cout, fold, w_seg)

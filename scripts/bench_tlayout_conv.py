@@ -66,6 +66,9 @@ def probe_compile(timeout=900):
         "xf = p.to_tlayout(jnp.asarray(r.normal(size=(1, 4, 8, 64, 32)), jnp.bfloat16))\n"
         "y3 = p.conv3d_tlayout_fused(xf, k8)\n"
         "print('probe ok v2fold', float(jnp.sum(y3.astype(jnp.float32))), flush=True)\n"
+        "b = jnp.asarray(r.normal(size=(8,)), jnp.float32)\n"
+        "y4 = p.conv3d_tlayout_fused(x_t, k8, bias=b, relu=True)\n"
+        "print('probe ok v2brelu', float(jnp.sum(y4.astype(jnp.float32))), flush=True)\n"
     )
     try:
         r = subprocess.run(
@@ -228,6 +231,30 @@ def step_ab(network, patch, n=8):
     )
 
 
+def infer_ab(network="unet", n=3):
+    """Whole-volume eval A/B (256x256x128): off / v1 / v2 — v2's eval
+    ConvBlocks run as single BN-folded Conv+BN+ReLU kernels. Fresh
+    forward closure per variant, so the env flags retrace."""
+    import os
+
+    import bench
+
+    res = {}
+    for variant, env in ENV_VARIANTS.items():
+        for key in ("GMIST_TLAYOUT_CONV", "GMIST_TLAYOUT_V2"):
+            os.environ.pop(key, None)
+        os.environ.update(env)
+        res[variant] = bench.bench_whole_volume(network, n_volumes=n)
+    for key in ("GMIST_TLAYOUT_CONV", "GMIST_TLAYOUT_V2"):
+        os.environ.pop(key, None)
+    print(
+        f"{network}_whole_volume infer: "
+        + " ".join(f"{v}={t:.1f}vols/min" for v, t in res.items())
+        + f" (v1 {res['v1'] / res['off']:.2f}x, v2 {res['v2'] / res['off']:.2f}x)",
+        flush=True,
+    )
+
+
 def main():
     global SHAPES
     dtype = jnp.bfloat16
@@ -243,6 +270,7 @@ def main():
         if ok:
             step_ab("unet", 128)
             step_ab("unetr", 128, n=5)
+            infer_ab("unet")
         return
     if "--smoke" in sys.argv:  # CPU structure check (interpret mode, tiny)
         jax.config.update("jax_platforms", "cpu")

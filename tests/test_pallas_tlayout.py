@@ -265,6 +265,37 @@ def test_conv3d_tlayout_v2_env_dispatch(monkeypatch):
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref), atol=3e-3)
 
 
+@pytest.mark.parametrize("w", [128, 64])
+def test_convblock_tlayout_fused_eval_matches_default(monkeypatch, w):
+    """Eval ConvBlock under GMIST_TLAYOUT_CONV+V2: BN folded into weights,
+    bias+ReLU fused into the kernel flush — logits match the default
+    Conv->BN->ReLU block on realistic (non-init) batch stats, and the
+    variable tree is checkpoint-identical."""
+    from general_medical_image_segmentation_cnn_framework_tpu.nn.blocks import (
+        ConvBlock,
+    )
+
+    x = jnp.asarray(_rand((1, 4, 4, w, 32), seed=51))
+    block = ConvBlock(features=16, kernel_size=3, stride=1, padding=1)
+    v = block.init(jax.random.PRNGKey(0), x, train=True)
+    # non-trivial running stats so the BN fold is actually exercised
+    bs = jax.tree_util.tree_map(lambda a: a, v["batch_stats"])
+    bs["BatchNorm_0"]["mean"] = jnp.asarray(_rand((16,), seed=52)) * 0.1
+    bs["BatchNorm_0"]["var"] = jnp.abs(jnp.asarray(_rand((16,), seed=53))) + 0.5
+    v = {"params": v["params"], "batch_stats": bs}
+    want = block.apply(v, x, train=False)
+
+    monkeypatch.setenv("GMIST_TLAYOUT_CONV", "1")
+    monkeypatch.setenv("GMIST_TLAYOUT_V2", "1")
+    v2 = block.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(
+        block.init(jax.random.PRNGKey(0), x, train=True)
+    )
+    got = block.apply(v, x, train=False)
+    assert float(jnp.min(got)) == 0.0  # ReLU actually applied
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
+
+
 def test_torchconv_tlayout_routing_matches_default(monkeypatch):
     """GMIST_TLAYOUT_CONV routes eligible TorchConvs (SAME k3s1, Cin%32,
     W%128) through the Pallas kernel with an IDENTICAL param tree and
