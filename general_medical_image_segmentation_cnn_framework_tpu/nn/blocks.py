@@ -533,20 +533,12 @@ class ConvBlock(nn.Module):
             and (_INTERPRET or jax.default_backend() == "tpu")
         )
 
-    def _tlayout_fused_eligible(self, x) -> bool:
-        """Eval-only single-kernel Conv+BN+ReLU via the v2 fused-depth
-        T-layout conv (GMIST_TLAYOUT_CONV=1 + GMIST_TLAYOUT_V2=1): BN is
-        folded into the weights and bias+ReLU ride the kernel's flush, so
-        the block costs one input read and one output write."""
-        import os
-
+    def _tlayout_block_shape_ok(self, x) -> bool:
         from ..ops import pallas_tlayout as ptl
 
         n = x.ndim - 2
         return (
-            os.environ.get("GMIST_TLAYOUT_CONV")
-            and os.environ.get("GMIST_TLAYOUT_V2")
-            and n == 3
+            n == 3
             and _to_tuple(self.kernel_size, n) == (3, 3, 3)
             and _to_tuple(self.stride, n) == (1, 1, 1)
             and _to_tuple(self.padding, n) == (1, 1, 1)
@@ -557,6 +549,34 @@ class ConvBlock(nn.Module):
                 x.shape[-1], self.features, x.shape[3], self.dtype, d=x.shape[1]
             )
             and (ptl._INTERPRET or jax.default_backend() == "tpu")
+        )
+
+    def _tlayout_fused_eligible(self, x) -> bool:
+        """Eval-only single-kernel Conv+BN+ReLU via the v2 fused-depth
+        T-layout conv (GMIST_TLAYOUT_CONV=1 + GMIST_TLAYOUT_V2=1): BN is
+        folded into the weights and bias+ReLU ride the kernel's flush, so
+        the block costs one input read and one output write."""
+        import os
+
+        return (
+            os.environ.get("GMIST_TLAYOUT_CONV")
+            and os.environ.get("GMIST_TLAYOUT_V2")
+            and self._tlayout_block_shape_ok(x)
+        )
+
+    def _tlayout_resident_eligible(self, x) -> bool:
+        """Train-mode T-layout residency (GMIST_TLAYOUT_CONV=1): run
+        conv -> BN -> ReLU entirely in [N, D, H, C, W] so the only layout
+        transposes sit at the block boundary — XLA then cancels them
+        between ADJACENT resident blocks (DoubleConv pairs), where the
+        per-conv TorchConv route pays a full HBM round trip per conv.
+        Opt out with GMIST_TLAYOUT_BLOCK=0 for the A/B."""
+        import os
+
+        return (
+            os.environ.get("GMIST_TLAYOUT_CONV")
+            and os.environ.get("GMIST_TLAYOUT_BLOCK", "1") != "0"
+            and self._tlayout_block_shape_ok(x)
         )
 
     @nn.compact
@@ -581,6 +601,32 @@ class ConvBlock(nn.Module):
                 relu=True,
             )
             return ptl.from_tlayout(y_t)
+        if train and self._tlayout_resident_eligible(x):
+            from jax.ad_checkpoint import checkpoint_name
+
+            from ..ops import pallas_tlayout as ptl
+
+            kernel, cbias = _ConvParams(
+                features=self.features,
+                kernel_size=(3, 3, 3),
+                use_bias=self.use_bias,
+                init_type=self.init_type,
+                name="TorchConv_0",
+            )(x.shape[-1])
+            y_t = ptl.conv3d_tlayout(
+                ptl.to_tlayout(x.astype(self.dtype)), kernel.astype(self.dtype)
+            )
+            if cbias is not None:
+                y_t = y_t + cbias.astype(y_t.dtype)[None, None, None, :, None]
+            y_t = checkpoint_name(y_t, "conv_out")
+            y_t = BatchNorm(
+                use_running_average=False,
+                dtype=self.dtype,
+                axis_name=self.axis_name,
+                channel_axis=3,
+                name="BatchNorm_0",
+            )(y_t)
+            return ptl.from_tlayout(nn.relu(y_t))
         if self._pallas_eligible(x):
             from ..ops.pallas_conv import (
                 fold_batchnorm,

@@ -24,21 +24,28 @@ from flax import linen as nn
 
 
 class BatchNorm(nn.Module):
-    """Torch-parity batch norm over NDHWC (reduce all but the last axis)."""
+    """Torch-parity batch norm over NDHWC (reduce all but the last axis).
+
+    ``channel_axis`` supports channel positions other than -1 (the
+    T-layout conv route keeps activations as [N, D, H, C, W]); the
+    variable tree is position-independent (per-channel 1-D vectors)."""
 
     use_running_average: bool = False
     momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
     epsilon: float = 1e-5
     dtype: Optional[jnp.dtype] = None
     axis_name: Optional[str] = None  # set under shard_map/pmap for sync-BN
+    channel_axis: int = -1
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None):
         use_ra = nn.merge_param(
             "use_running_average", self.use_running_average, use_running_average
         )
-        features = x.shape[-1]
-        reduce_axes = tuple(range(x.ndim - 1))
+        ch = self.channel_axis % x.ndim
+        features = x.shape[ch]
+        reduce_axes = tuple(ax for ax in range(x.ndim) if ax != ch)
+        bshape = tuple(features if ax == ch else 1 for ax in range(x.ndim))
 
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros(features, jnp.float32)
@@ -71,8 +78,10 @@ class BatchNorm(nn.Module):
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale + bias
+        y = (x.astype(jnp.float32) - mean.reshape(bshape)) * jax.lax.rsqrt(
+            var.reshape(bshape) + self.epsilon
+        )
+        y = y * scale.reshape(bshape) + bias.reshape(bshape)
         return y.astype(self.dtype or x.dtype)
 
 

@@ -55,6 +55,10 @@ def apply_platform(config) -> None:
     # nn.blocks.TorchConv at trace time, where no config is in scope)
     if getattr(config, "tlayout_conv", False):
         os.environ["GMIST_TLAYOUT_CONV"] = "1"
+    if getattr(config, "tlayout_v2", False):
+        # v2 = the fused-depth kernel (implies the T-layout route)
+        os.environ["GMIST_TLAYOUT_CONV"] = "1"
+        os.environ["GMIST_TLAYOUT_V2"] = "1"
 
 
 def enable_compilation_cache(config) -> None:

@@ -296,6 +296,90 @@ def test_convblock_tlayout_fused_eval_matches_default(monkeypatch, w):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
 
 
+def test_batchnorm_channel_axis_matches_last():
+    """BatchNorm(channel_axis=3) on T-layout == BatchNorm on NDHWC,
+    both the normalized output and the running-stat updates."""
+    from general_medical_image_segmentation_cnn_framework_tpu.nn.norm import (
+        BatchNorm,
+    )
+
+    x = jnp.asarray(_rand((2, 3, 4, 8, 16), seed=61))  # NDHWC, C=16
+    x_t = jnp.transpose(x, (0, 1, 2, 4, 3))
+    bn = BatchNorm()
+    bn_t = BatchNorm(channel_axis=3)
+    v = bn.init(jax.random.PRNGKey(0), x)
+    want, wmut = bn.apply(v, x, mutable=["batch_stats"])
+    got_t, gmut = bn_t.apply(v, x_t, mutable=["batch_stats"])
+    got = jnp.transpose(got_t, (0, 1, 2, 4, 3))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(gmut["batch_stats"][k]),
+            np.asarray(wmut["batch_stats"][k]),
+            rtol=1e-6,
+        )
+
+
+@pytest.mark.parametrize("w", [128, 64])
+def test_convblock_tlayout_resident_train_matches_default(monkeypatch, w):
+    """Train-mode T-layout residency (conv+BN+ReLU in [N,D,H,C,W]):
+    logits and batch-stat updates match the default block; tree
+    checkpoint-identical; composes with the v2 fused conv."""
+    from general_medical_image_segmentation_cnn_framework_tpu.nn.blocks import (
+        ConvBlock,
+    )
+
+    x = jnp.asarray(_rand((1, 4, 4, w, 32), seed=62))
+    block = ConvBlock(features=16, kernel_size=3, stride=1, padding=1)
+    v = block.init(jax.random.PRNGKey(0), x, train=True)
+    want, wmut = block.apply(v, x, train=True, mutable=["batch_stats"])
+
+    for extra_env in ({}, {"GMIST_TLAYOUT_V2": "1"}):
+        monkeypatch.setenv("GMIST_TLAYOUT_CONV", "1")
+        for k, val in extra_env.items():
+            monkeypatch.setenv(k, val)
+        v2 = block.init(jax.random.PRNGKey(0), x, train=True)
+        assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(v)
+        got, gmut = block.apply(v, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
+        np.testing.assert_allclose(
+            np.asarray(gmut["batch_stats"]["BatchNorm_0"]["mean"]),
+            np.asarray(wmut["batch_stats"]["BatchNorm_0"]["mean"]),
+            atol=1e-5,
+        )
+        monkeypatch.delenv("GMIST_TLAYOUT_V2", raising=False)
+
+
+def test_convblock_tlayout_resident_grads_match(monkeypatch):
+    """Residency path end-to-end grads (through BN in T-layout and the
+    custom-VJP conv) vs the default block."""
+    from general_medical_image_segmentation_cnn_framework_tpu.nn.blocks import (
+        ConvBlock,
+    )
+
+    x = jnp.asarray(_rand((1, 4, 4, 128, 32), seed=63))
+    ct = jnp.asarray(_rand((1, 4, 4, 128, 16), seed=64))
+    block = ConvBlock(features=16, kernel_size=3, stride=1, padding=1)
+    v = block.init(jax.random.PRNGKey(0), x, train=True)
+
+    def loss(params, x):
+        y, _ = block.apply(
+            {**v, "params": params}, x, train=True, mutable=["batch_stats"]
+        )
+        return jnp.sum(y * ct)
+
+    gp_ref, gx_ref = jax.grad(loss, argnums=(0, 1))(v["params"], x)
+    monkeypatch.setenv("GMIST_TLAYOUT_CONV", "1")
+    gp, gx = jax.grad(loss, argnums=(0, 1))(v["params"], x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=3e-4)
+    for pref, pgot in zip(
+        jax.tree_util.tree_leaves(gp_ref), jax.tree_util.tree_leaves(gp)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(pgot), np.asarray(pref), atol=3e-3
+        )
+
+
 def test_torchconv_tlayout_routing_matches_default(monkeypatch):
     """GMIST_TLAYOUT_CONV routes eligible TorchConvs (SAME k3s1, Cin%32,
     W%128) through the Pallas kernel with an IDENTICAL param tree and
