@@ -124,13 +124,17 @@ class TorchConv(nn.Module):
             ):
                 from ..ops import pallas_tlayout as ptl
 
+                # misaligned Cin (the Cin=1/4 stems) rides the zero-pad
+                # wrapper — GMIST_TLAYOUT_CINPAD=0 opts out for the A/B
+                cinpad_ok = os.environ.get("GMIST_TLAYOUT_CINPAD", "1") != "0"
                 if ptl.supported(
-                    cin, self.features, x.shape[3], self.dtype, d=x.shape[1]
+                    cin, self.features, x.shape[3], self.dtype,
+                    d=x.shape[1], allow_cinpad=cinpad_ok,
                 ) and (
                     ptl._INTERPRET or jax.default_backend() == "tpu"
                 ):
                     y = ptl.from_tlayout(
-                        ptl.conv3d_tlayout(
+                        ptl.conv3d_tlayout_cinpad(
                             ptl.to_tlayout(x.astype(self.dtype)),
                             kernel.astype(self.dtype),
                         )
@@ -534,6 +538,8 @@ class ConvBlock(nn.Module):
         )
 
     def _tlayout_block_shape_ok(self, x) -> bool:
+        import os
+
         from ..ops import pallas_tlayout as ptl
 
         n = x.ndim - 2
@@ -546,7 +552,9 @@ class ConvBlock(nn.Module):
             and self.norm == "batch"
             and self.act == "relu"
             and ptl.supported(
-                x.shape[-1], self.features, x.shape[3], self.dtype, d=x.shape[1]
+                x.shape[-1], self.features, x.shape[3], self.dtype,
+                d=x.shape[1],
+                allow_cinpad=os.environ.get("GMIST_TLAYOUT_CINPAD", "1") != "0",
             )
             and (ptl._INTERPRET or jax.default_backend() == "tpu")
         )
@@ -594,7 +602,7 @@ class ConvBlock(nn.Module):
             )(x.shape[-1])
             scale, bbias, mean, var = _BNParams(name="BatchNorm_0")(self.features)
             fk, fb = fold_batchnorm(kernel, cbias, scale, bbias, mean, var)
-            y_t = ptl.conv3d_tlayout_fused(
+            y_t = ptl.conv3d_tlayout_fused_cinpad(
                 ptl.to_tlayout(x.astype(self.dtype)),
                 fk.astype(self.dtype),
                 bias=fb,
@@ -613,7 +621,7 @@ class ConvBlock(nn.Module):
                 init_type=self.init_type,
                 name="TorchConv_0",
             )(x.shape[-1])
-            y_t = ptl.conv3d_tlayout(
+            y_t = ptl.conv3d_tlayout_cinpad(
                 ptl.to_tlayout(x.astype(self.dtype)), kernel.astype(self.dtype)
             )
             if cbias is not None:

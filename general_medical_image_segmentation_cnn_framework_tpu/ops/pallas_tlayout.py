@@ -45,7 +45,10 @@ import jax.numpy as jnp
 _INTERPRET = False  # test hook
 
 
-def supported(cin: int, cout: int, w: int, dtype, d: int | None = None) -> bool:
+def supported(
+    cin: int, cout: int, w: int, dtype, d: int | None = None,
+    allow_cinpad: bool = False,
+) -> bool:
     """Hardware-path eligibility: every sublane offset in the kernel is a
     multiple of Cin and every lane slice a multiple of W, so Cin must be
     sublane-tile aligned (32 covers f32 and bf16) and W lane-aligned.
@@ -53,8 +56,19 @@ def supported(cin: int, cout: int, w: int, dtype, d: int | None = None) -> bool:
     W in [32, 128) that divides 128 is eligible through depth-slice lane
     FOLDING: f = 128//W depth slices ride side-by-side in the lane dim
     ([..., C, f*W]); needs D % f == 0 (pass ``d`` to check — the per-depth
-    2-D conv treats slices independently, so folding is exact)."""
-    if cin % 32 or cout % 8:
+    2-D conv treats slices independently, so folding is exact).
+
+    ``allow_cinpad``: misaligned Cin (the Cin=1/4 stems above all) is
+    eligible through the ``conv3d_tlayout_cinpad`` wrapper, which
+    zero-pads Cin to the next multiple of 32 OUTSIDE the kernel — the
+    kernel then runs only its proven aligned shapes, and zero channels
+    keep outputs and every gradient exact (pad's VJP slices them away).
+    In T-layout the pad costs (cin_pad/cin)x input bytes — for the
+    Cin=1 stem that is 32x of a small tensor where channels-LAST XLA
+    pays the full 128x lane-padding (r2 note: 5-6 ms at 128^3)."""
+    if cin % 32 and not allow_cinpad:
+        return False
+    if cout % 8:
         return False
     if w % 128 == 0:
         return True
@@ -450,6 +464,39 @@ def conv3d_tlayout_fused(
             .reshape(n, d, h, cout, w_seg)
         )
     return y
+
+
+def _pad_cin(x_t: jnp.ndarray, kernel: jnp.ndarray):
+    """Zero-pad the Cin (sublane) dim of x_t [N,D,H,Cin,W] and kernel
+    [3,3,3,Cin,Cout] to a multiple of 32. Exact: zero channels contribute
+    zero to the conv, dx flows back through pad's slicing transpose, and
+    the wgrad rows of pad channels (all-zero inputs) are dropped by the
+    kernel-pad's transpose."""
+    cin = x_t.shape[3]
+    pad = (-cin) % 32
+    if pad:
+        zeros3 = ((0, 0),) * 3
+        x_t = jnp.pad(x_t, zeros3 + ((0, pad), (0, 0)))
+        kernel = jnp.pad(kernel, zeros3 + ((0, pad), (0, 0)))
+    return x_t, kernel
+
+
+def conv3d_tlayout_cinpad(x_t: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """conv3d_tlayout for any Cin: misaligned Cin is zero-padded to 32
+    outside the kernel (see ``supported(allow_cinpad=True)``). Pass-through
+    when already aligned."""
+    x_t, kernel = _pad_cin(x_t, kernel)
+    return conv3d_tlayout(x_t, kernel)
+
+
+def conv3d_tlayout_fused_cinpad(
+    x_t: jnp.ndarray, kernel: jnp.ndarray, bh: int = None,
+    bias: jnp.ndarray = None, relu: bool = False,
+) -> jnp.ndarray:
+    """conv3d_tlayout_fused (v2, eval epilogue fusion) for any Cin via the
+    same zero-pad; bias/relu ride the Cout side and are unaffected."""
+    x_t, kernel = _pad_cin(x_t, kernel)
+    return conv3d_tlayout_fused(x_t, kernel, bh=bh, bias=bias, relu=relu)
 
 
 def _shift_add_depth(y_pre: jnp.ndarray, cout: int, out_dtype) -> jnp.ndarray:

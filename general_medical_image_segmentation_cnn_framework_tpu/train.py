@@ -61,6 +61,18 @@ def apply_platform(config) -> None:
         os.environ["GMIST_TLAYOUT_V2"] = "1"
 
 
+def disable_tlayout_for_mesh(mesh_size: int) -> bool:
+    """A pallas_call is not GSPMD-partitionable: under a >1-device mesh
+    (DP batch or spatial sharding) XLA would have to replicate or reject
+    the custom call — drop back to the XLA conv routes there instead of
+    failing at compile time. Returns True if the routes were disabled."""
+    if mesh_size > 1 and os.environ.get("GMIST_TLAYOUT_CONV"):
+        for key in ("GMIST_TLAYOUT_CONV", "GMIST_TLAYOUT_V2"):
+            os.environ.pop(key, None)
+        return True
+    return False
+
+
 def enable_compilation_cache(config) -> None:
     """Persistent XLA compilation cache: repeat runs skip the (minutes-long
     on remote transports) 3-D conv compiles. On by default; set
@@ -347,6 +359,11 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
         f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}"
         + (" (spatial sharding)" if spatial_sharding else "")
     )
+    if disable_tlayout_for_mesh(mesh.size):
+        logger.warning(
+            "tlayout_conv disabled: Pallas conv kernels do not partition "
+            "under a multi-device mesh (GSPMD); using the XLA conv routes"
+        )
 
     rng = jax.random.PRNGKey(int(getattr(config, "seed", 0) or 0))
     params, batch_stats, opt_state, tx = init_train_state(config, model, rng)

@@ -36,6 +36,10 @@ SHAPES = [
     ("dec1a_128_64to32", 128, 64, 32),
     ("enc2b_64_64to64", 64, 64, 64),
     ("dec2a_64_128to64", 64, 128, 64),
+    # Cin=1 stem (r2: 5-6 ms at 128^3 from channels-last 128x lane
+    # padding) — rides the cinpad wrapper (zero-pad Cin to 32: 32x input
+    # bytes of a SMALL tensor instead of 128x, same proven kernel shapes)
+    ("stem_128_1to32", 128, 1, 32),
 ]
 
 
@@ -128,30 +132,30 @@ def make_variants(s, cin, cout, dtype):
         "tl+tr": (
             jax.jit(
                 lambda x, k: pallas_tlayout.from_tlayout(
-                    pallas_tlayout.conv3d_tlayout(pallas_tlayout.to_tlayout(x), k)
+                    pallas_tlayout.conv3d_tlayout_cinpad(pallas_tlayout.to_tlayout(x), k)
                 )
             ),
             (x, k),
         ),
-        "tl": (jax.jit(pallas_tlayout.conv3d_tlayout), (x_t, k)),
+        "tl": (jax.jit(pallas_tlayout.conv3d_tlayout_cinpad), (x_t, k)),
     }
-    v2_ok = pallas_tlayout.supported(cin, cout, s, dtype, d=s)
+    v2_ok = pallas_tlayout.supported(cin, cout, s, dtype, d=s, allow_cinpad=True)
     if v2_ok:  # v2 fused (in-VMEM depth accumulation; folded for W<128)
-        fwd["tl2"] = (jax.jit(pallas_tlayout.conv3d_tlayout_fused), (x_t, k))
+        fwd["tl2"] = (jax.jit(pallas_tlayout.conv3d_tlayout_fused_cinpad), (x_t, k))
 
     def g_xla(x, k):
         return jax.grad(lambda x, k: jnp.sum(conv3d_tapgrouped(x, k) * ct), (0, 1))(x, k)
 
     def g_tltr(x, k):
         def loss(x, k):
-            y = pallas_tlayout.conv3d_tlayout(pallas_tlayout.to_tlayout(x), k)
+            y = pallas_tlayout.conv3d_tlayout_cinpad(pallas_tlayout.to_tlayout(x), k)
             return jnp.sum(pallas_tlayout.from_tlayout(y) * ct)
 
         return jax.grad(loss, (0, 1))(x, k)
 
     def g_tl(x_t, k):
         return jax.grad(
-            lambda x_t, k: jnp.sum(pallas_tlayout.conv3d_tlayout(x_t, k) * ct_t), (0, 1)
+            lambda x_t, k: jnp.sum(pallas_tlayout.conv3d_tlayout_cinpad(x_t, k) * ct_t), (0, 1)
         )(x_t, k)
 
     fb = {
@@ -183,7 +187,23 @@ ENV_VARIANTS = {
     "off": {},
     "v1": {"GMIST_TLAYOUT_CONV": "1"},
     "v2": {"GMIST_TLAYOUT_CONV": "1", "GMIST_TLAYOUT_V2": "1"},
+    # v2 minus ConvBlock residency: isolates the in-block-layout win
+    "v2nb": {
+        "GMIST_TLAYOUT_CONV": "1", "GMIST_TLAYOUT_V2": "1",
+        "GMIST_TLAYOUT_BLOCK": "0",
+    },
+    # v2 with the Pallas wgrad (all-Pallas bwd) — decides GMIST_TLAYOUT_WGRAD
+    "v2w": {
+        "GMIST_TLAYOUT_CONV": "1", "GMIST_TLAYOUT_V2": "1",
+        "GMIST_TLAYOUT_WGRAD": "pallas",
+    },
 }
+# eval path has no bwd/residency knobs: off / v1 / v2 only
+INFER_VARIANTS = {k: ENV_VARIANTS[k] for k in ("off", "v1", "v2")}
+_ENV_KEYS = (
+    "GMIST_TLAYOUT_CONV", "GMIST_TLAYOUT_V2", "GMIST_TLAYOUT_BLOCK",
+    "GMIST_TLAYOUT_WGRAD", "GMIST_TLAYOUT_CINPAD",
+)
 
 
 def step_ab(network, patch, n=8):
@@ -201,7 +221,7 @@ def step_ab(network, patch, n=8):
 
     res = {}
     for variant, env in ENV_VARIANTS.items():
-        for key in ("GMIST_TLAYOUT_CONV", "GMIST_TLAYOUT_V2"):
+        for key in _ENV_KEYS:
             os.environ.pop(key, None)
         os.environ.update(env)
         config = bench._config(network, patch)
@@ -221,7 +241,7 @@ def step_ab(network, patch, n=8):
             params, stats, opt, loss, dice = step(params, stats, opt, x, y, rng)
         _ = float(loss)
         res[variant] = (time.perf_counter() - t0) / n * 1e3
-    for key in ("GMIST_TLAYOUT_CONV", "GMIST_TLAYOUT_V2"):
+    for key in _ENV_KEYS:
         os.environ.pop(key, None)
     print(
         f"{network}_{patch} step: "
@@ -240,15 +260,39 @@ def infer_ab(network="unet", n=3):
     import bench
 
     res = {}
-    for variant, env in ENV_VARIANTS.items():
-        for key in ("GMIST_TLAYOUT_CONV", "GMIST_TLAYOUT_V2"):
+    for variant, env in INFER_VARIANTS.items():
+        for key in _ENV_KEYS:
             os.environ.pop(key, None)
         os.environ.update(env)
         res[variant] = bench.bench_whole_volume(network, n_volumes=n)
-    for key in ("GMIST_TLAYOUT_CONV", "GMIST_TLAYOUT_V2"):
+    for key in _ENV_KEYS:
         os.environ.pop(key, None)
     print(
         f"{network}_whole_volume infer: "
+        + " ".join(f"{v}={t:.1f}vols/min" for v, t in res.items())
+        + f" (v1 {res['v1'] / res['off']:.2f}x, v2 {res['v2'] / res['off']:.2f}x)",
+        flush=True,
+    )
+
+
+def slide_ab(network="unet", n=2):
+    """Sliding-window predict A/B (the PRIMARY bench metric): off / v1 /
+    v2 — eval ConvBlocks on the v2 path run as single BN-folded kernels
+    inside the per-patch scan. Fresh closure per variant (env retrace)."""
+    import os
+
+    import bench
+
+    res = {}
+    for variant, env in INFER_VARIANTS.items():
+        for key in _ENV_KEYS:
+            os.environ.pop(key, None)
+        os.environ.update(env)
+        res[variant] = bench.bench_inference(network, n_volumes=n)
+    for key in _ENV_KEYS:
+        os.environ.pop(key, None)
+    print(
+        f"{network}_sliding_window infer: "
         + " ".join(f"{v}={t:.1f}vols/min" for v, t in res.items())
         + f" (v1 {res['v1'] / res['off']:.2f}x, v2 {res['v2'] / res['off']:.2f}x)",
         flush=True,
@@ -271,6 +315,7 @@ def main():
             step_ab("unet", 128)
             step_ab("unetr", 128, n=5)
             infer_ab("unet")
+            slide_ab("unet")
         return
     if "--smoke" in sys.argv:  # CPU structure check (interpret mode, tiny)
         jax.config.update("jax_platforms", "cpu")
@@ -308,6 +353,8 @@ def main():
         # (91.6% of its step is these conv shapes — r3 transformer profile)
         step_ab("unet", 128)
         step_ab("unetr", 128, n=5)
+        infer_ab("unet")
+        slide_ab("unet")
 
 
 if __name__ == "__main__":

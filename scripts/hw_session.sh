@@ -12,7 +12,7 @@ cd "$(dirname "$0")/.."
 run() {
   name=$1; shift
   echo "=== $name: $* ==="
-  timeout 2400 "$@" > "$OUT/$name.log" 2>&1
+  timeout 3600 "$@" > "$OUT/$name.log" 2>&1
   echo "    exit=$? (log: $OUT/$name.log)"
   tail -8 "$OUT/$name.log" | sed 's/^/    /'
 }

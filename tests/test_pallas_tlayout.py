@@ -448,13 +448,13 @@ def test_unetr_decoder_tlayout_routing_audit(monkeypatch):
 
     monkeypatch.setenv("GMIST_TLAYOUT_CONV", "1")
     calls = []
-    real = pallas_tlayout.conv3d_tlayout
+    real = pallas_tlayout.conv3d_tlayout_cinpad
 
     def spy(x_t, kernel):
         calls.append(tuple(x_t.shape))
         return real(x_t, kernel)
 
-    monkeypatch.setattr(pallas_tlayout, "conv3d_tlayout", spy)
+    monkeypatch.setattr(pallas_tlayout, "conv3d_tlayout_cinpad", spy)
 
     model = UNETR(img_shape=(128, 128, 128), input_dim=4, output_dim=3)
     x = jax.ShapeDtypeStruct((1, 128, 128, 128, 4), jnp.float32)
@@ -469,9 +469,100 @@ def test_unetr_decoder_tlayout_routing_audit(monkeypatch):
     # x_t is [N, D, H, C, W]: reference decoder pyramid (unetr.py:277-294
     # in /root/reference) has 4 eligible convs at 32^3 (z6/z9u merge x2 +
     # the 32^3 deconv-block convs of the z6/z3 branches), 3 at 64^3
-    # (z3 branch + z3/z6u merge x2), 3 at 128^3 (post-stem + final x2)
+    # (z3 branch + z3/z6u merge x2), 4 at 128^3 (the Cin=4 stem via the
+    # cinpad wrapper + post-stem + final x2)
     from collections import Counter
 
     ws = Counter(s[-1] for s in calls)
-    assert ws == {32: 4, 64: 3, 128: 3}, ws
-    assert all(s[3] % 32 == 0 for s in calls), calls  # Cin sublane-aligned
+    assert ws == {32: 4, 64: 3, 128: 4}, ws
+    # Cin sublane-aligned or below 32 (cinpad zero-pads those to 32)
+    assert all(s[3] % 32 == 0 or s[3] < 32 for s in calls), calls
+
+
+@pytest.mark.parametrize("cin,w", [(1, 128), (4, 128), (4, 64), (48, 128)])
+def test_conv3d_tlayout_cinpad_matches_decomposed(cin, w):
+    """Misaligned-Cin route (zero-pad Cin to 32 outside the kernel):
+    forward exactness vs the XLA decomposed conv, both v1 and v2."""
+    x = jnp.asarray(_rand((1, 4, 4, w, cin), seed=70))
+    k = jnp.asarray(_rand((3, 3, 3, cin, 8), seed=71) * 0.1)
+    want = conv3d_decomposed(x, k, (1, 1, 1), (1, 1, 1))
+    x_t = pallas_tlayout.to_tlayout(x)
+    got = pallas_tlayout.from_tlayout(pallas_tlayout.conv3d_tlayout_cinpad(x_t, k))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    got2 = pallas_tlayout.from_tlayout(
+        pallas_tlayout.conv3d_tlayout_fused_cinpad(x_t, k)
+    )
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=2e-5)
+
+
+def test_conv3d_tlayout_cinpad_vjp_matches_xla():
+    """dx and dw through the cinpad wrapper (pad's transpose slices the
+    zero-channel rows away) == the XLA conv's gradients."""
+    x = jnp.asarray(_rand((1, 4, 4, 128, 1), seed=72))
+    k = jnp.asarray(_rand((3, 3, 3, 1, 8), seed=73) * 0.1)
+    ct = jnp.asarray(_rand((1, 4, 4, 128, 8), seed=74))
+
+    def loss_ref(x, k):
+        return jnp.sum(conv3d_decomposed(x, k, (1, 1, 1), (1, 1, 1)) * ct)
+
+    def loss_tl(x, k):
+        y = pallas_tlayout.conv3d_tlayout_cinpad(pallas_tlayout.to_tlayout(x), k)
+        return jnp.sum(pallas_tlayout.from_tlayout(y) * ct)
+
+    gx_ref, gk_ref = jax.grad(loss_ref, (0, 1))(x, k)
+    gx, gk = jax.grad(loss_tl, (0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref), atol=3e-3)
+
+
+def test_torchconv_cinpad_routing(monkeypatch):
+    """Cin=1 stem TorchConv routes through the cinpad T-layout path by
+    default (GMIST_TLAYOUT_CONV=1) and stays XLA with
+    GMIST_TLAYOUT_CINPAD=0; outputs match either way."""
+    from general_medical_image_segmentation_cnn_framework_tpu.nn.blocks import (
+        TorchConv,
+    )
+
+    x = jnp.asarray(_rand((1, 4, 4, 128, 1), seed=75))
+    conv = TorchConv(features=8, kernel_size=3, stride=1, padding=1)
+    v = conv.init(jax.random.PRNGKey(0), x)
+    want = conv.apply(v, x)
+
+    calls = []
+    real = pallas_tlayout.conv3d_tlayout_cinpad
+
+    def spy(x_t, kernel):
+        calls.append(tuple(x_t.shape))
+        return real(x_t, kernel)
+
+    monkeypatch.setattr(pallas_tlayout, "conv3d_tlayout_cinpad", spy)
+    monkeypatch.setenv("GMIST_TLAYOUT_CONV", "1")
+    got = conv.apply(v, x)
+    assert calls == [(1, 4, 4, 1, 128)]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
+
+    monkeypatch.setenv("GMIST_TLAYOUT_CINPAD", "0")
+    calls.clear()
+    got_off = conv.apply(v, x)
+    assert calls == []
+    np.testing.assert_allclose(np.asarray(got_off), np.asarray(want), atol=5e-4)
+
+
+@pytest.mark.quick
+def test_disable_tlayout_for_mesh(monkeypatch):
+    """Multi-device meshes drop the Pallas conv routes (pallas_call is
+    not GSPMD-partitionable); a 1-device mesh keeps them."""
+    import os
+
+    from general_medical_image_segmentation_cnn_framework_tpu.train import (
+        disable_tlayout_for_mesh,
+    )
+
+    monkeypatch.setenv("GMIST_TLAYOUT_CONV", "1")
+    monkeypatch.setenv("GMIST_TLAYOUT_V2", "1")
+    assert not disable_tlayout_for_mesh(1)
+    assert os.environ.get("GMIST_TLAYOUT_CONV") == "1"
+    assert disable_tlayout_for_mesh(8)
+    assert "GMIST_TLAYOUT_CONV" not in os.environ
+    assert "GMIST_TLAYOUT_V2" not in os.environ
+    assert not disable_tlayout_for_mesh(8)  # idempotent once cleared
