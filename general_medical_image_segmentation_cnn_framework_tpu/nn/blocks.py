@@ -164,6 +164,42 @@ class TorchConv(nn.Module):
                 y = y + bias.astype(y.dtype)
             return y
 
+        # 2-D T-layout Pallas route (GMIST_TLAYOUT_CONV=1): the 2-D zoo's
+        # SAME k3s1 convs sit on the same K=Cin MXU ceiling as the 3-D
+        # nets; conv2d_plane_tlayout lifts K to 9*Cin with minimal
+        # traffic. Params live under the same "Conv_0" child scope as the
+        # nn.Conv fallback, so the variable tree is routing-independent.
+        if (
+            n == 2
+            and os.environ.get("GMIST_TLAYOUT_CONV")
+            and k == (3, 3)
+            and s == (1, 1)
+            and p == (1, 1)
+            and d == (1, 1)
+            and self.groups == 1
+        ):
+            from ..ops import pallas_tlayout as ptl
+
+            cin = x.shape[-1]
+            cinpad_ok = os.environ.get("GMIST_TLAYOUT_CINPAD", "1") != "0"
+            if ptl.supported(
+                cin, self.features, x.shape[2], self.dtype,
+                d=x.shape[0], allow_cinpad=cinpad_ok,  # d = batch (N-fold)
+            ) and (ptl._INTERPRET or jax.default_backend() == "tpu"):
+                kernel, bias = _ConvParams(
+                    features=self.features,
+                    kernel_size=k,
+                    use_bias=self.use_bias,
+                    init_type=self.init_type,
+                    name="Conv_0",
+                )(cin)
+                x_t = jnp.transpose(x.astype(self.dtype), (0, 1, 3, 2))
+                y_t = ptl.conv2d_tlayout_cinpad(x_t, kernel.astype(self.dtype))
+                y = jnp.transpose(y_t, (0, 1, 3, 2))
+                if bias is not None:
+                    y = y + bias.astype(y.dtype)
+                return y
+
         return nn.Conv(
             features=self.features,
             kernel_size=k,

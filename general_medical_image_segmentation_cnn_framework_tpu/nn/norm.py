@@ -16,11 +16,31 @@ no running stats), as used by the residual U-Net
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Trace-time default sync axis (see sync_bn_scope): lets the shard_map
+# data-parallel forward turn every zoo BatchNorm into a sync-BN without
+# threading an axis_name field through 23 model definitions.
+_SYNC_BN_AXIS: list = []
+
+
+@contextlib.contextmanager
+def sync_bn_scope(axis_name: str):
+    """Within this scope every ``BatchNorm`` without an explicit
+    ``axis_name`` pmean-syncs its batch statistics over ``axis_name``.
+    Used by the ``dp_backend=shard_map`` forward (train.py), where the
+    model body runs per-device and batch-global BN semantics must be
+    restored manually (GSPMD does it automatically; shard_map cannot)."""
+    _SYNC_BN_AXIS.append(axis_name)
+    try:
+        yield
+    finally:
+        _SYNC_BN_AXIS.pop()
 
 
 class BatchNorm(nn.Module):
@@ -65,11 +85,14 @@ class BatchNorm(nn.Module):
             n = 1
             for ax in reduce_axes:
                 n *= x.shape[ax]
-            if self.axis_name is not None and not self.is_initializing():
+            axis_name = self.axis_name
+            if axis_name is None and _SYNC_BN_AXIS:
+                axis_name = _SYNC_BN_AXIS[-1]
+            if axis_name is not None and not self.is_initializing():
                 # (init runs outside the mapped context — no axis bound)
-                mean = jax.lax.pmean(mean, self.axis_name)
-                mean2 = jax.lax.pmean(mean2, self.axis_name)
-                n *= jax.lax.psum(1, self.axis_name)
+                mean = jax.lax.pmean(mean, axis_name)
+                mean2 = jax.lax.pmean(mean2, axis_name)
+                n *= jax.lax.psum(1, axis_name)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 # torch stores the *unbiased* variance in running_var

@@ -466,6 +466,129 @@ def conv3d_tlayout_fused(
     return y
 
 
+def conv2d_plane_tlayout(
+    x_t: jnp.ndarray, kernel: jnp.ndarray, bh: int = None
+) -> jnp.ndarray:
+    """2-D SAME k3s1 conv in T-layout — the 2-D zoo's shallow levels sit
+    on the same K=Cin MXU ceiling as the 3-D nets (reference 2-D models,
+    e.g. /root/reference/models/two_d/unet.py conv3x3 blocks).
+
+    x_t: [N, H, C=Cin, W]; kernel: [3, 3, Cin, Cout] (HWIO). Returns
+    [N, H, Cout, W]. Reuses the 3-D kernel with kd=1: the grid's depth
+    extent is 1 and the weight matrix is [1*Cout, 9*Cin], so the matmul
+    output **is** the conv output (no depth shift-add). W in [32, 128)
+    folds BATCH slices into lanes (batches are independent, so the same
+    per-segment edge masks make it exact) — needs N % (128//W) == 0.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, cin, w = x_t.shape
+    cout = kernel.shape[-1]
+    assert kernel.shape[:2] == (3, 3), "k3 only"
+    if bh is None:
+        import os
+
+        bh = int(os.environ.get("GMIST_TLAYOUT_BH", "8"))
+    if h % bh != 0:
+        bh = next(b for b in range(min(bh, h), 0, -1) if h % b == 0)
+
+    # lane folding for W < 128: f = 128//W BATCH slices side-by-side
+    w_seg, fold = w, 1
+    if w % 128 != 0 and w >= 32 and 128 % w == 0 and n % (128 // w) == 0:
+        fold = 128 // w
+        x_t = (
+            x_t.reshape(n // fold, fold, h, cin, w)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(n // fold, h, cin, fold * w)
+        )
+        n = n // fold
+        w = fold * w
+
+    xp = jnp.pad(x_t, ((0, 0), (1, 1), (0, 0), (0, 0)))[:, None]  # [N,1,Hp,C,W]
+    w_flat = kernel.transpose(3, 0, 1, 2).reshape(cout, 9 * cin)  # kd=1 rows
+
+    itemsize = x_t.dtype.itemsize
+    row_bytes = cout * w * itemsize
+    hc = max(bh, min(h, (4 << 20) // max(row_bytes, 1) // bh * bh))
+    while h % hc != 0:
+        hc -= bh
+    assert hc >= bh and hc % bh == 0 and h % hc == 0, (h, bh, hc)
+
+    kern = partial(_kernel, bh=bh, cin=cin, cout=cout, w=w, w_seg=w_seg, hc=hc)
+    y = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, 1, h, cout, w), x_t.dtype),
+        grid=(n, 1, h // hc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, hc, cout, w),
+            lambda i, z, j: (i, z, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 2, cin, w), x_t.dtype),
+            pltpu.VMEM((9 * cin, bh * w), x_t.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_INTERPRET,
+    )(xp, w_flat.astype(x_t.dtype))[:, 0]
+    if fold > 1:
+        y = (
+            y.reshape(n, h, cout, fold, w_seg)
+            .transpose(0, 3, 1, 2, 4)
+            .reshape(n * fold, h, cout, w_seg)
+        )
+    return y
+
+
+def _wgrad2d_tlayout(x_t: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """dw[dy,dx,ci,co] via ONE relabeled-dims conv (batch=ci, feature=n),
+    the 2-D analogue of _wgrad_tlayout."""
+    dn = jax.lax.conv_dimension_numbers(x_t.shape, g.shape, ("CHNW", "IHOW", "NHCW"))
+    dw = jax.lax.conv_general_dilated(
+        x_t, g, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    )
+    return dw  # "NHCW": [ci, ky, co, kx]
+
+
+@jax.custom_vjp
+def conv2d_tlayout(x_t: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """2-D conv, k=3, stride 1, SAME, T-layout [N, H, C, W] (custom VJP:
+    Pallas dgrad on the flipped/transposed kernel; XLA relabeled wgrad)."""
+    return conv2d_plane_tlayout(x_t, kernel)
+
+
+def _conv2d_tlayout_fwd(x_t, kernel):
+    return conv2d_tlayout(x_t, kernel), (x_t, kernel)
+
+
+def _conv2d_tlayout_bwd(res, g):
+    x_t, kernel = res
+    k_flip = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = conv2d_tlayout(g.astype(x_t.dtype), k_flip)
+    dwx = _wgrad2d_tlayout(x_t, g.astype(x_t.dtype))  # [ci, ky, co, kx]
+    dw = dwx.transpose(1, 3, 0, 2).astype(kernel.dtype)  # [ky, kx, ci, co]
+    return dx.astype(x_t.dtype), dw
+
+
+conv2d_tlayout.defvjp(_conv2d_tlayout_fwd, _conv2d_tlayout_bwd)
+
+
+def conv2d_tlayout_cinpad(x_t: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """conv2d_tlayout for any Cin (zero-pad to 32; see _pad_cin)."""
+    cin = x_t.shape[2]
+    pad = (-cin) % 32
+    if pad:
+        x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return conv2d_tlayout(x_t, kernel)
+
+
 def _pad_cin(x_t: jnp.ndarray, kernel: jnp.ndarray):
     """Zero-pad the Cin (sublane) dim of x_t [N,D,H,Cin,W] and kernel
     [3,3,3,Cin,Cout] to a multiple of 32. Exact: zero channels contribute

@@ -241,8 +241,52 @@ def make_loss_and_metric(config) -> Callable:
     return loss_and_metric
 
 
-def make_train_step(config, model, tx) -> Callable:
+def make_shardmap_forward(config, model, mesh, inner) -> Callable:
+    """Wrap the model forward in ``shard_map`` over the mesh's 'data' axis
+    (``config.dp_backend=shard_map``).
+
+    GSPMD cannot partition a ``pallas_call``, so the custom-kernel conv
+    routes (tlayout_conv / pallas_conv) are single-device under the
+    default jit path. Manual SPMD makes them legal: each device runs the
+    full per-device forward — Pallas kernels included — on its batch
+    shard; BatchNorm statistics pmean-sync inside the region
+    (``sync_bn_scope``, exact batch-global semantics); and everything
+    OUTSIDE the forward (loss, metric, optimizer) stays GSPMD on the
+    logically-global predictions, so every configured criterion —
+    including the non-decomposable sum-based dice losses — keeps its
+    global-batch semantics unchanged. Dropout keys fold in the device
+    index (per-device masks differ from the GSPMD path's global mask;
+    the zoo's BN nets are dropout-free, so their trajectories match the
+    GSPMD backend exactly).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .nn.norm import sync_bn_scope
+
+    def forward(variables, x, train, rngs, mutable):
+        def body(variables, x, rngs):
+            if rngs:
+                idx = jax.lax.axis_index("data")
+                rngs = {k: jax.random.fold_in(v, idx) for k, v in rngs.items()}
+            with sync_bn_scope("data"):
+                return inner(variables, x, train, rngs, mutable)
+
+        return shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P()),
+            out_specs=(P("data"), P()),  # updates are pmean-synced -> replicated
+            check_vma=False,  # pallas_call outputs carry no vma info
+        )(variables, x, rngs or {})
+
+    return forward
+
+
+def make_train_step(config, model, tx, mesh=None) -> Callable:
     forward = make_forward(config, model)
+    if mesh is not None:  # dp_backend=shard_map (see make_shardmap_forward)
+        forward = make_shardmap_forward(config, model, mesh, forward)
     loss_and_metric = make_loss_and_metric(config)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -359,10 +403,28 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
         f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}"
         + (" (spatial sharding)" if spatial_sharding else "")
     )
-    if disable_tlayout_for_mesh(mesh.size):
+    # dp_backend=shard_map: per-device forward in manual SPMD, keeping
+    # the Pallas conv kernels legal on multi-device meshes (GSPMD cannot
+    # partition a pallas_call; see make_shardmap_forward)
+    use_epoch_scan = bool(getattr(config, "epoch_scan", False))
+    dp_shardmap = (
+        getattr(config, "dp_backend", "gspmd") == "shard_map"
+        and not spatial_sharding
+        and not use_epoch_scan
+        and "data" in mesh.axis_names
+        and mesh.shape["data"] > 1
+    )
+    if dp_shardmap:
+        assert int(config.batch_size) % mesh.shape["data"] == 0, (
+            f"dp_backend=shard_map needs batch_size divisible by the data "
+            f"axis ({config.batch_size} % {mesh.shape['data']})"
+        )
+        logger.info("data parallel: shard_map backend (per-device Pallas ok)")
+    elif disable_tlayout_for_mesh(mesh.size):
         logger.warning(
             "tlayout_conv disabled: Pallas conv kernels do not partition "
-            "under a multi-device mesh (GSPMD); using the XLA conv routes"
+            "under a multi-device mesh (GSPMD); set dp_backend=shard_map "
+            "to keep the custom kernels, or stay on the XLA conv routes"
         )
 
     rng = jax.random.PRNGKey(int(getattr(config, "seed", 0) or 0))
@@ -404,11 +466,10 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
     from .data.grain_pipeline import make_dataset
 
     dataset = make_dataset(config, is_train=True)
-    train_step = make_train_step(config, model, tx)
+    train_step = make_train_step(config, model, tx, mesh=mesh if dp_shardmap else None)
     checkpointer = AsyncCheckpointer()
 
     # Whole-epoch scan path: one XLA program per epoch (ops/epoch_scan.py).
-    use_epoch_scan = bool(getattr(config, "epoch_scan", False))
     if use_epoch_scan:
         from .data.device_prep import DevicePatchDataset
         from .ops.epoch_scan import build_epoch_plan, make_epoch_scan

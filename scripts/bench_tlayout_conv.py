@@ -73,6 +73,10 @@ def probe_compile(timeout=900):
         "b = jnp.asarray(r.normal(size=(8,)), jnp.float32)\n"
         "y4 = p.conv3d_tlayout_fused(x_t, k8, bias=b, relu=True)\n"
         "print('probe ok v2brelu', float(jnp.sum(y4.astype(jnp.float32))), flush=True)\n"
+        "x2 = jnp.asarray(r.normal(size=(1, 8, 32, 128)), jnp.bfloat16)\n"
+        "k2 = jnp.asarray(r.normal(size=(3, 3, 32, 8)), jnp.bfloat16)\n"
+        "y5 = p.conv2d_plane_tlayout(x2, k2)\n"
+        "print('probe ok 2d', float(jnp.sum(y5.astype(jnp.float32))), flush=True)\n"
     )
     try:
         r = subprocess.run(

@@ -566,3 +566,80 @@ def test_disable_tlayout_for_mesh(monkeypatch):
     assert "GMIST_TLAYOUT_CONV" not in os.environ
     assert "GMIST_TLAYOUT_V2" not in os.environ
     assert not disable_tlayout_for_mesh(8)  # idempotent once cleared
+
+
+def _conv2d_ref(x, k):
+    """NHWC SAME k3s1 reference conv."""
+    dn = ("NHWC", "HWIO", "NHWC")
+    return jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=jax.lax.conv_dimension_numbers(x.shape, k.shape, dn),
+    )
+
+
+@pytest.mark.parametrize(
+    "n,h,w,cin,cout",
+    [
+        (1, 8, 128, 32, 16),
+        (2, 6, 256, 64, 8),
+        (4, 8, 64, 32, 16),  # fold=2 over batch
+        (1, 8, 128, 3, 8),   # cinpad (RGB-like stem)
+    ],
+)
+def test_conv2d_plane_tlayout_matches_xla(n, h, w, cin, cout):
+    x = jnp.asarray(_rand((n, h, w, cin), seed=81))
+    k = jnp.asarray(_rand((3, 3, cin, cout), seed=82) * 0.2)
+    want = _conv2d_ref(x, k)
+    x_t = jnp.transpose(x, (0, 1, 3, 2))  # [N, H, C, W]
+    got_t = pallas_tlayout.conv2d_tlayout_cinpad(x_t, k)
+    got = jnp.transpose(got_t, (0, 1, 3, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_conv2d_tlayout_vjp_matches_xla():
+    n, h, w, cin, cout = 2, 6, 128, 32, 8
+    x = jnp.asarray(_rand((n, h, w, cin), seed=83))
+    k = jnp.asarray(_rand((3, 3, cin, cout), seed=84) * 0.2)
+    ct = jnp.asarray(_rand((n, h, w, cout), seed=85))
+
+    def ref_loss(x, k):
+        return jnp.sum(_conv2d_ref(x, k) * ct)
+
+    def got_loss(x, k):
+        x_t = jnp.transpose(x, (0, 1, 3, 2))
+        y = pallas_tlayout.conv2d_tlayout_cinpad(x_t, k)
+        return jnp.sum(jnp.transpose(y, (0, 1, 3, 2)) * ct)
+
+    gx_ref, gk_ref = jax.grad(ref_loss, argnums=(0, 1))(x, k)
+    gx, gk = jax.grad(got_loss, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref), atol=3e-3)
+
+
+def test_torchconv2d_tlayout_routing_matches_default(monkeypatch):
+    """2-D TorchConv routes through conv2d_plane_tlayout with an
+    IDENTICAL param tree (same 'Conv_0' child scope as the nn.Conv
+    fallback) and matching outputs."""
+    from general_medical_image_segmentation_cnn_framework_tpu.nn.blocks import (
+        TorchConv,
+    )
+
+    x = jnp.asarray(_rand((2, 8, 128, 32), seed=86))
+    conv = TorchConv(features=16, kernel_size=3, stride=1, padding=1)
+    v = conv.init(jax.random.PRNGKey(0), x)
+    want = conv.apply(v, x)
+
+    monkeypatch.setenv("GMIST_TLAYOUT_CONV", "1")
+    v2 = conv.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(v)
+    calls = []
+    real = pallas_tlayout.conv2d_tlayout_cinpad
+
+    def spy(x_t, kernel):
+        calls.append(tuple(x_t.shape))
+        return real(x_t, kernel)
+
+    monkeypatch.setattr(pallas_tlayout, "conv2d_tlayout_cinpad", spy)
+    got = conv.apply(v, x)
+    assert calls == [(2, 8, 32, 128)]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
