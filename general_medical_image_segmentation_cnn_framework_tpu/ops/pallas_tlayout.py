@@ -92,7 +92,16 @@ def _build_rhs(sl, rhs, lane, *, bh, cin, w, w_seg):
         if shift == 0:
             shifted = sl
         else:
-            shifted = pltpu.roll(sl, shift=shift % w, axis=2)
+            # Mosaic's lane rotate is 32-bit only ("Rotate with non-32-bit
+            # data", tpu.dynamic_rotate on bf16 — real-v5e reject, r4 HW
+            # session): roll sub-4-byte slabs in f32 and cast back, which
+            # is exact (bf16 values round-trip through f32 unchanged)
+            if sl.dtype.itemsize < 4:
+                shifted = pltpu.roll(
+                    sl.astype(jnp.float32), shift=shift % w, axis=2
+                ).astype(sl.dtype)
+            else:
+                shifted = pltpu.roll(sl, shift=shift % w, axis=2)
             if shift > 0:
                 shifted = jnp.where(lane >= shift, shifted, 0)
             else:

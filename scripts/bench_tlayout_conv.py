@@ -112,15 +112,24 @@ def bh_sweep(s=128, cin=32, cout=32, dtype=jnp.bfloat16):
 
 
 def timed(fn, args, n=10):
+    """Amortized sync: dispatch n calls back-to-back and hard-sync ONCE.
+
+    The per-call variant (sync inside the loop) adds the tunnel's full
+    round-trip latency (~25-30 ms measured, r5) to EVERY rep — at layer
+    scale that swamps the op itself and compresses every ratio toward
+    1x. Only the paired DIFFERENCES from such runs are meaningful; this
+    version measures the ops themselves."""
+
+    def _sync(o):
+        return float(jnp.sum(o[0] if isinstance(o, tuple) else o))
+
     out = fn(*args)
-    _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
-    times = []
+    _sync(out)
+    t0 = time.perf_counter()
     for _ in range(n):
-        t0 = time.perf_counter()
         out = fn(*args)
-        _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    _sync(out)
+    return (time.perf_counter() - t0) / n
 
 
 def make_variants(s, cin, cout, dtype):
