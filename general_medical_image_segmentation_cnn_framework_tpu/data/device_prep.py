@@ -30,6 +30,10 @@ import numpy as np
 from .pipeline import get_subjects, load_subject
 
 
+class DeviceDatasetBudgetError(RuntimeError):
+    """Dataset too large for HBM-resident device backend (device_dataset_gb)."""
+
+
 @jax.jit
 def _znorm_device(vol):
     """(x - mean) / std over the whole volume, on device (tio.ZNormalization)."""
@@ -100,17 +104,32 @@ class DevicePatchDataset:
 
         # one-time H2D, channels-last in HBM: znormalized when aug is off,
         # RAW when aug is on (the device aug pipeline includes znorm after
-        # the bias field, matching the host transform order)
-        self.volumes: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
+        # the bias field, matching the host transform order).
+        # Volumes are RESIDENT in HBM, so the whole dataset must fit:
+        # load host-side first, check against config.device_dataset_gb,
+        # and raise before any transfer if it can't (make_dataset catches
+        # this and falls back to the threaded backend).
+        budget = float(getattr(config, "device_dataset_gb", 8.0) or 0) * (1 << 30)
+        host: List[Tuple[np.ndarray, np.ndarray]] = []
+        total = 0
         for pair in pairs:
             subject = load_subject(pair)
-            src = jnp.asarray(np.moveaxis(subject.source.data, 0, -1))
-            gt = jnp.asarray(
-                np.moveaxis(subject.gt.data, 0, -1).astype(np.float32)
+            src = np.moveaxis(subject.source.data, 0, -1)
+            gt = np.moveaxis(subject.gt.data, 0, -1).astype(np.float32)
+            total += src.nbytes + gt.nbytes
+            host.append((src, gt))
+        if budget and total > budget:
+            raise DeviceDatasetBudgetError(
+                f"device data backend needs {total / (1 << 30):.2f} GB HBM "
+                f"resident (> device_dataset_gb={budget / (1 << 30):.2f}); "
+                "raise device_dataset_gb or use data_backend=threaded"
             )
+        self.volumes: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
+        for src_h, gt_h in host:
+            src = jnp.asarray(src_h)
             if not self.aug:
                 src = _znorm_device(src)
-            self.volumes.append((src, gt))
+            self.volumes.append((src, jnp.asarray(gt_h)))
 
     def __len__(self) -> int:
         return (len(self.volumes) * self.samples_per_volume) // self.batch_size

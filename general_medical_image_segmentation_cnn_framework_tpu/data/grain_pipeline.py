@@ -122,9 +122,16 @@ def make_dataset(config, is_train: bool = True):
             worker_count=int(getattr(config, "grain_workers", 0)),
         )
     if backend == "device":
-        from .device_prep import DevicePatchDataset
+        from .device_prep import DeviceDatasetBudgetError, DevicePatchDataset
 
-        return DevicePatchDataset(config, is_train=is_train)
+        try:
+            return DevicePatchDataset(config, is_train=is_train)
+        except DeviceDatasetBudgetError as e:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s — falling back to the threaded backend", e
+            )
     from .pipeline import PatchQueueDataset
 
     return PatchQueueDataset(config, is_train=is_train)

@@ -58,3 +58,28 @@ def test_train_with_device_backend(tiny_config):
     result = train(tiny_config)
     assert np.isfinite(result["loss"])
     assert 0.0 <= result["dice"] <= 1.0
+
+
+def test_device_backend_budget_fallback(tiny_config):
+    """Datasets over config.device_dataset_gb must not be forced HBM-
+    resident: DevicePatchDataset raises before any transfer, and
+    make_dataset falls back to the threaded backend with a warning."""
+    from general_medical_image_segmentation_cnn_framework_tpu.data.device_prep import (
+        DeviceDatasetBudgetError,
+    )
+    from general_medical_image_segmentation_cnn_framework_tpu.data.grain_pipeline import (
+        make_dataset,
+    )
+    from general_medical_image_segmentation_cnn_framework_tpu.data.pipeline import (
+        PatchQueueDataset,
+    )
+
+    tiny_config.data_backend = "device"
+    tiny_config.device_dataset_gb = 1e-9  # force over-budget
+    with pytest.raises(DeviceDatasetBudgetError):
+        DevicePatchDataset(tiny_config)
+    ds = make_dataset(tiny_config, is_train=True)
+    assert isinstance(ds, PatchQueueDataset)
+    # default budget admits the tiny dataset
+    tiny_config.device_dataset_gb = 8.0
+    assert isinstance(make_dataset(tiny_config), DevicePatchDataset)
