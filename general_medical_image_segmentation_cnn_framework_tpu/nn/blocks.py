@@ -146,6 +146,35 @@ class TorchConv(nn.Module):
                         )
                         y = y + bias.astype(y.dtype)
                     return y
+            # small-channel LARGE-volume k3s1 convs (fcn3d's padding-60
+            # stages: C=8-32 at up to 182^3): lane padding makes XLA move
+            # 128/C x the logical bytes — the exact space-to-depth fold
+            # (ops/conv3d.conv3d_s2d) trades 8x trivial FLOPs for ~8x
+            # less padded traffic. Env-gated pending the HW A/B
+            # (scripts/bench_s2d_fcn3d.py).
+            if (
+                os.environ.get("GMIST_S2D_CONV")
+                and k == (3, 3, 3)
+                and s == (1, 1, 1)
+                and d == (1, 1, 1)
+                and max(cin, self.features) <= 32
+            ):
+                from ..ops.conv3d import conv3d_s2d
+
+                out_vox = 1
+                for i in range(3):
+                    out_vox *= x.shape[1 + i] + 2 * p[i] - 2
+                if out_vox >= 200_000:
+                    y = conv3d_s2d(
+                        x.astype(self.dtype), kernel.astype(self.dtype), s, p
+                    )
+                    if self.use_bias:
+                        bias = self.param(
+                            "bias", bias_initializer(self.init_type),
+                            (self.features,), jnp.float32,
+                        )
+                        y = y + bias.astype(y.dtype)
+                    return y
             # deep small-grid levels are occupancy-bound under the conv2d
             # forms (r3 roofline: 3-12% MFU at 8^3..32^3); the one-matmul
             # im2col contraction (K = k^3*Cin) fills the MXU there and its

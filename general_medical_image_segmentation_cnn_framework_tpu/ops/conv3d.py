@@ -311,3 +311,94 @@ def conv_transpose_phased(x: jnp.ndarray, kernel: jnp.ndarray, stride: Sequence[
         idx.append(slice(shift, shift + out_len))
     idx.append(slice(None))
     return z[tuple(idx)]
+
+
+def _s2d_fold(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """[N, D, H, W, C] -> [N, D/f, H/f, W/f, f^3*C]; folded channel index
+    is ((pd*f + ph)*f + pw)*C + c for parities p* in [0, f)."""
+    n, d, h, w, c = x.shape
+    return (
+        x.reshape(n, d // f, f, h // f, f, w // f, f, c)
+        .transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        .reshape(n, d // f, h // f, w // f, f * f * f * c)
+    )
+
+
+def _s2d_unfold(y: jnp.ndarray, f: int, cout: int) -> jnp.ndarray:
+    """Inverse of ``_s2d_fold`` for a [N, Dq, Hq, Wq, f^3*cout] tensor."""
+    n, dq, hq, wq, _ = y.shape
+    return (
+        y.reshape(n, dq, hq, wq, f, f, f, cout)
+        .transpose(0, 1, 4, 2, 5, 3, 6, 7)
+        .reshape(n, dq * f, hq * f, wq * f, cout)
+    )
+
+
+def _s2d_expand_kernel(kernel: jnp.ndarray, f: int = 2) -> jnp.ndarray:
+    """Exact parity expansion of a k3 kernel to folded space:
+    for output parity p_out and tap offset delta in {0,1,2}, the source
+    voxel 2*q_out + p_out + delta - 1 lands at folded offset
+    Delta = floor((p_out + delta - 1 - p_in)/2) with parity
+    p_in = (p_out + delta - 1) mod 2 — still a k3 conv over folded space
+    with [f^3*Cin, f^3*Cout] channels. Built as one static gather, so the
+    expansion is differentiable and the param stays the original
+    [3,3,3,Cin,Cout] (checkpoints unchanged)."""
+    import numpy as np
+
+    assert f == 2 and kernel.shape[:3] == (3, 3, 3)
+    cin, cout = kernel.shape[3], kernel.shape[4]
+    td, th, tw, pid, pih, piw, pod, poh, pow_ = np.meshgrid(
+        *([np.arange(3)] * 3 + [np.arange(2)] * 6), indexing="ij"
+    )
+    dd = 2 * (td - 1) + pid - pod + 1
+    dh = 2 * (th - 1) + pih - poh + 1
+    dw = 2 * (tw - 1) + piw - pow_ + 1
+    valid = (
+        (dd >= 0) & (dd < 3) & (dh >= 0) & (dh < 3) & (dw >= 0) & (dw < 3)
+    )
+    kg = kernel[np.clip(dd, 0, 2), np.clip(dh, 0, 2), np.clip(dw, 0, 2)]
+    kg = kg * jnp.asarray(valid, kernel.dtype)[..., None, None]
+    # [t..., pin..., pout..., cin, cout] -> [t..., (pin,cin), (pout,cout)]
+    return kg.transpose(0, 1, 2, 3, 4, 5, 9, 6, 7, 8, 10).reshape(
+        3, 3, 3, 8 * cin, 8 * cout
+    )
+
+
+def conv3d_s2d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    stride: Sequence[int] = (1, 1, 1),
+    padding: Sequence[int] = (1, 1, 1),
+) -> jnp.ndarray:
+    """Small-channel k3 s1 conv via exact space-to-depth (fold-by-2).
+
+    Channels-last XLA pads the lane dim to 128, so a C=8 conv at 182^3
+    (fcn3d's padding-60 stem stages, reference fcn3d.py:108-168 context)
+    moves 16x the logical bytes on the largest tensors of the net — the
+    r4 roofline measured the whole step at 4.7% BW / 0.2% MFU. Folding
+    2x2x2 space into channels (C -> 8C) costs 8x the (trivial) FLOPs and
+    cuts the padded traffic ~8x; consecutive folded convs let XLA cancel
+    the inverse unfold/fold transposes between them. Exact: zero padding
+    commutes with the fold, and torch's k3 pad-p conv == zero-pad by
+    (p-1) then SAME k3 (covers fcn3d's p=60/15 stages)."""
+    assert tuple(stride) == (1, 1, 1)
+    f = 2
+    cout = kernel.shape[-1]
+    pd, ph, pw = padding
+    if (pd, ph, pw) != (1, 1, 1):
+        x = jnp.pad(
+            x,
+            ((0, 0), (pd - 1, pd - 1), (ph - 1, ph - 1), (pw - 1, pw - 1), (0, 0)),
+        )
+    n, d, h, w, _ = x.shape
+    evens = [(-s) % f for s in (d, h, w)]
+    if any(evens):
+        x = jnp.pad(
+            x, ((0, 0), (0, evens[0]), (0, evens[1]), (0, evens[2]), (0, 0))
+        )
+    xf = _s2d_fold(x, f)
+    kf = _s2d_expand_kernel(kernel.astype(x.dtype), f)
+    # folded conv rides the tap-grouped form (kd*f^3*Cout MXU lanes) —
+    # the framework's measured-fastest k3s1 route
+    yf = conv3d_tapgrouped(xf, kf, (1, 1, 1), (1, 1, 1))
+    return _s2d_unfold(yf, f, cout)[:, :d, :h, :w, :]

@@ -59,6 +59,9 @@ def apply_platform(config) -> None:
         # v2 = the fused-depth kernel (implies the T-layout route)
         os.environ["GMIST_TLAYOUT_CONV"] = "1"
         os.environ["GMIST_TLAYOUT_V2"] = "1"
+    if getattr(config, "s2d_conv", False):
+        # space-to-depth fold for small-channel large-volume convs
+        os.environ["GMIST_S2D_CONV"] = "1"
 
 
 def disable_tlayout_for_mesh(mesh_size: int) -> bool:

@@ -360,3 +360,66 @@ def test_tapgrouped_dilated_gradients_match():
     )(x, kernel)
     np.testing.assert_allclose(np.asarray(gx_t), np.asarray(gx_n), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gk_t), np.asarray(gk_n), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(6, 8, 10), (7, 9, 11), (5, 5, 5)])
+@pytest.mark.parametrize("padding", [(1, 1, 1), (3, 3, 3), (2, 1, 4)])
+@pytest.mark.parametrize("cin,cout", [(1, 8), (8, 8), (3, 16)])
+def test_s2d_matches_native(shape, padding, cin, cout):
+    """conv3d_s2d (space-to-depth fold) is exact vs the native conv for
+    odd/even extents and the fcn3d-style large symmetric paddings."""
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.conv3d import (
+        conv3d_s2d,
+    )
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1,) + shape + (cin,)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 3, cin, cout)).astype(np.float32))
+    got = conv3d_s2d(x, kernel, (1, 1, 1), padding)
+    want = _native(x, kernel, (1, 1, 1), padding)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_s2d_gradients_match():
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.conv3d import (
+        conv3d_s2d,
+    )
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 6, 7, 6, 4)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 8)).astype(np.float32))
+
+    def loss_s(k, x):
+        return jnp.sum(conv3d_s2d(x, k, (1, 1, 1), (1, 1, 1)) ** 2)
+
+    def loss_n(k, x):
+        return jnp.sum(_native(x, k, (1, 1, 1), (1, 1, 1)).astype(jnp.float32) ** 2)
+
+    gs = jax.grad(loss_s, argnums=(0, 1))(kernel, x)
+    gn = jax.grad(loss_n, argnums=(0, 1))(kernel, x)
+    for a, b in zip(gs, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-3)
+
+
+def test_s2d_torchconv_route_param_tree(tiny_config, monkeypatch):
+    """The GMIST_S2D_CONV route keeps the direct kernel/bias param tree
+    and the same outputs as the default route."""
+    import os
+
+    from general_medical_image_segmentation_cnn_framework_tpu.nn.blocks import TorchConv
+
+    rng = np.random.default_rng(9)
+    # above the 200k-voxel gate: 60^3 = 216k at p=1
+    x = jnp.asarray(rng.normal(size=(1, 60, 60, 60, 8)).astype(np.float32))
+    m = TorchConv(features=8, kernel_size=3, padding=1)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y_ref = m.apply(v, x)
+    monkeypatch.setenv("GMIST_S2D_CONV", "1")
+    m2 = TorchConv(features=8, kernel_size=3, padding=1)
+    v2 = m2.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    y_s2d = m2.apply(v, x)
+    np.testing.assert_allclose(
+        np.asarray(y_s2d), np.asarray(y_ref), atol=2e-4
+    )
