@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -41,6 +42,18 @@ def bilinear_kernel_init(key, shape, dtype=jnp.float32):
 
 
 class _BilinearDeconv(nn.Module):
+    """VALID transposed conv with bilinear init, via the PHASED route.
+
+    The original nn.ConvTranspose (lhs_dilation) lowering was the whole
+    fcn3d pathology: the r5 prefix bisection measured the net's first 14
+    stages at 20.8 ms and the deconv head at ~810 ms of the 830 ms
+    64^3 forward (k16 s8 lhs-dilation is the documented SkipDenseNet
+    catastrophe). conv_transpose_phased computes the identical VALID
+    output as a dense ceil(k/s)-tap conv + pixel shuffle. Param is the
+    same flax-convention [k,k,k,in,out] kernel, stored directly as
+    "kernel" (the tree changed from ConvTranspose_0/kernel when this
+    route landed — fcn3d is unreleased, no checkpoints to migrate)."""
+
     features: int
     kernel_size: int
     stride: int
@@ -48,16 +61,27 @@ class _BilinearDeconv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.ConvTranspose(
-            features=self.features,
-            kernel_size=(self.kernel_size,) * 3,
-            strides=(self.stride,) * 3,
-            padding="VALID",
-            use_bias=False,
-            kernel_init=bilinear_kernel_init,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        import os
+
+        k = (self.kernel_size,) * 3
+        kernel = self.param(
+            "kernel", bilinear_kernel_init, k + (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        if os.environ.get("GMIST_NATIVE_CONV3D"):
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(1, 1, 1),
+                padding=[(ki - 1, ki - 1) for ki in k],
+                lhs_dilation=(self.stride,) * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+        from ...ops.conv3d import conv_transpose_phased
+
+        return conv_transpose_phased(
+            x.astype(self.dtype), kernel.astype(self.dtype), (self.stride,) * 3
+        )
 
 
 def _ceil_pool(x):

@@ -69,12 +69,19 @@ class FCN32s(nn.Module):
         h = nn.Dropout(rate=0.5, deterministic=not train)(h)
         h = conv(self.n_class, 1, 0)(h)
 
-        h = nn.ConvTranspose(
-            features=self.n_class, kernel_size=(64, 64), strides=(32, 32),
-            padding="VALID", use_bias=False,
-            kernel_init=_bilinear_kernel_init_2d,
-            dtype=self.dtype, param_dtype=jnp.float32,
-        )(h)
+        # k64 s32 upscore via the PHASED transposed conv (identical VALID
+        # output; raw nn.ConvTranspose's lhs_dilation lowering is the
+        # fcn3d-head pathology — r5 bisection). Same flax-convention
+        # kernel, stored directly as "kernel".
+        up_kernel = self.param(
+            "upscore_kernel", _bilinear_kernel_init_2d,
+            (64, 64, h.shape[-1], self.n_class), jnp.float32,
+        )
+        from ...ops.conv3d import conv_transpose_phased
+
+        h = conv_transpose_phased(
+            h.astype(self.dtype), up_kernel.astype(self.dtype), (32, 32)
+        )
         h = h[:, 19 : 19 + x.shape[1], 19 : 19 + x.shape[2]]
         return h.astype(jnp.float32)
 

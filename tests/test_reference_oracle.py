@@ -870,9 +870,10 @@ def test_fcn3d_oracle():
              tm.fc6, tm.fc7, tm.score_fr, tm.score_pool4, tm.score_pool3]
     for i, c in enumerate(convs):
         set_conv(params, f"TorchConv_{i}", c)
-    # upscores: flax nn.ConvTranspose matches torch with the FLIPPED kernel
+    # upscores: the phased route consumes the flax-convention (FLIPPED
+    # vs torch) kernel, stored directly as "kernel"
     for i, t in enumerate([tm.upscore2, tm.upscore_pool4, tm.upscore8]):
-        dst = params[f"_BilinearDeconv_{i}"]["ConvTranspose_0"]
+        dst = params[f"_BilinearDeconv_{i}"]
         for k, v in f_convT(t).items():
             dst[k] = jnp.asarray(v)
 
@@ -1420,7 +1421,7 @@ def test_fcn2d_oracle():
     for i, c in enumerate(convs):
         set_conv(params, f"TorchConv_{i}", c)
     for k, v in f_convT(tm.upscore).items():
-        params["ConvTranspose_0"][k] = jnp.asarray(v)
+        params["upscore_kernel" if k == "kernel" else k] = jnp.asarray(v)
 
     y = model.apply(variables, jnp.asarray(to_channels_last(x)), train=False)
     assert_close(y, run_torch(tm, x), atol=5e-4, rtol=2e-3)
