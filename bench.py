@@ -498,17 +498,21 @@ def main() -> None:
                 (f"{prefix}_{m}", v, u) for m, v, u in gen(out)
             )
 
+        # r5: the r4 extras' decisions are made and recorded in BASELINE.md
+        # (device aug 2.6x -> promoted to default; phased transpose 21.6x
+        # and dilated tap-group 2.9x -> confirmed defaults; tlayout
+        # in-step LOSES on this transport -> stays opt-in), so the
+        # round-end bench no longer re-runs them — the budget goes to two
+        # cheap regression canaries for this round's fixes instead.
+        _ = (parse_tlayout, parse_device_aug, wrap, parse_harness)  # manual reuse
         extra(
-            ["scripts/bench_tlayout_conv.py", "--step-ab"], 1800, parse_tlayout
-        )
-        extra(["scripts/bench_device_aug.py"], 1500, parse_device_aug)
-        extra(
-            ["scripts/bench_transpose_phased.py", "densenet", "64"], 900,
-            wrap("densenet_64_train_step", parse_harness),
-        )
-        extra(
-            ["scripts/bench_dilated_tapgroup.py", "highresnet", "64"], 900,
-            wrap("highresnet_64_train_step", parse_harness),
+            ["scripts/bench_zoo.py", "--patch", "64", "--reps", "5",
+             "--nets", "fcn3d,densenet"],
+            1500,
+            lambda out: (
+                (f"{m.group(1)}_64_train_step", float(m.group(2)), "ms/step")
+                for m in re.finditer(r"(\w+)\s+3d\s+([\d.]+) ms/step", out)
+            ),
         )
 
     emit()
