@@ -87,11 +87,37 @@ def bench_inference(network="unet", n_volumes=7, vol_shape=(256, 256, 128), patc
     if overlap is None:
         overlap = tuple(min(4, patch - 1) for _ in range(2)) + (min(36, patch - 1),)
 
-    sliding_window_predict(forward, variables, vol, (patch,) * 3, overlap, batch_size=batch_size)
+    # Measure what the CLI predict driver actually does (predict.py):
+    # bf16 upload (exact for a bf16-compute model; halves the dominant
+    # host->device transfer) AND a prefetch thread that uploads the NEXT
+    # volume while the device scans the current one — the upload hides
+    # completely behind the scan (BASELINE.md r6 stage profile).
+    import queue
+    import threading
+
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.sliding_window import (
+        prepare_volume,
+    )
+
+    def run(vol_dev):
+        return sliding_window_predict(
+            forward, variables, vol_dev, (patch,) * 3, overlap,
+            batch_size=batch_size,
+        )
+
+    run(prepare_volume(vol, jnp.bfloat16))  # warm the compiled scan
+
+    q: queue.Queue = queue.Queue(maxsize=2)
+
+    def loader():
+        for _ in range(n_volumes):
+            q.put(prepare_volume(vol, jnp.bfloat16))
+
+    threading.Thread(target=loader, daemon=True).start()
     times = []
     for _ in range(n_volumes):
         t0 = time.perf_counter()
-        sliding_window_predict(forward, variables, vol, (patch,) * 3, overlap, batch_size=batch_size)
+        run(q.get())
         times.append(time.perf_counter() - t0)
     # median: single tunnel-latency outliers inflate the mean (run-to-run
     # variance on this transport is +-40%; see BASELINE.md)
@@ -116,11 +142,44 @@ def bench_whole_volume(network="unet", n_volumes=5, vol_shape=(256, 256, 128)):
     variables = {"params": params, "batch_stats": stats}
     forward = make_forward_fn(config, model)
     vol = np.random.default_rng(0).normal(size=(1,) + tuple(vol_shape)).astype(np.float32)
-    whole_volume_predict(forward, variables, vol, input_dtype=jnp.bfloat16)
+
+    # pipelined like the CLI driver: the loader thread uploads the next
+    # volume (bf16) while the device runs the current forward — the
+    # upload (~205 ms at this shape) dominates the 84 ms whole-volume
+    # forward on tunneled transports, so hiding it matters even more
+    # here than in the tiled path.
+    import queue
+    import threading
+
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.sliding_window import (
+        prepare_volume,
+    )
+
+    # loader pads to the registry pad_multiple like predict.py does
+    from general_medical_image_segmentation_cnn_framework_tpu.models.registry import (
+        pad_multiple,
+    )
+
+    pm = pad_multiple(network)
+    padded = tuple(-(-s // pm) * pm for s in vol_shape)
+    vol_p = np.pad(vol, [(0, 0)] + [(0, p - s) for p, s in zip(padded, vol_shape)])
+
+    def run(vol_dev):
+        return whole_volume_predict(forward, variables, vol_dev, pad_multiple=pm)
+
+    run(prepare_volume(vol_p, jnp.bfloat16))  # warm
+
+    q: queue.Queue = queue.Queue(maxsize=2)
+
+    def loader():
+        for _ in range(n_volumes):
+            q.put(prepare_volume(vol_p, jnp.bfloat16))
+
+    threading.Thread(target=loader, daemon=True).start()
     times = []
     for _ in range(n_volumes):
         t0 = time.perf_counter()
-        whole_volume_predict(forward, variables, vol, input_dtype=jnp.bfloat16)
+        run(q.get())
         times.append(time.perf_counter() - t0)
     return 60.0 / float(np.median(times))
 

@@ -165,6 +165,40 @@ def predict(model=None, config=None, logger=None):
             except queue_mod.Full:
                 continue
 
+    # shape bucketing (opt-in): round spatial dims up to a multiple so
+    # heterogeneous volumes share ONE compiled program (each new volume
+    # shape otherwise recompiles the whole scan — minutes on remote-compile
+    # transports). The tile grid / crop rules follow the TRUE extent, so
+    # bucketed sliding-window predictions are byte-identical to unbucketed.
+    # NOTE whole_volume + bucket is NOT byte-identical to unbucketed
+    # whole-volume: the whole volume is padded to lcm(pad_multiple, bucket)
+    # BEFORE the single forward, so voxels near the true border see extra
+    # zero-pad context inside their receptive field (vs padding only to
+    # pad_multiple). Both are valid conv paddings of the same volume —
+    # pinned by tests/test_whole_volume_bucket.py.
+    bucket = int(getattr(config, "shape_bucket", 0) or 0)
+
+    import jax.numpy as jnp
+
+    from .ops.sliding_window import prepare_volume
+
+    # bf16 upload halves the host->device transfer and is EXACT for a
+    # bf16-compute model — the first conv casts the input anyway.
+    in_dtype = (
+        jnp.bfloat16
+        if getattr(config, "precision", "") == "bfloat16"
+        else None
+    )
+    if whole_volume:
+        import math
+
+        from .models.registry import pad_multiple as _registry_pad
+
+        pm = _registry_pad(config.network)
+        wv_pad = math.lcm(pm, bucket) if bucket else pm
+    else:
+        wv_pad = None
+
     def _loader():
         try:
             for i, pair in enumerate(pairs):
@@ -172,7 +206,22 @@ def predict(model=None, config=None, logger=None):
                     return
                 subject = load_subject(pair)
                 src = znorm.normalize_array(subject.source.data)
-                _put((i, subject, src))
+                orig_shape = src.shape[1:]
+                pad_to = wv_pad if whole_volume else bucket
+                if pad_to:
+                    padded = tuple(
+                        -(-s // pad_to) * pad_to for s in orig_shape
+                    )
+                    pads = [(0, 0)] + [
+                        (0, p - s) for p, s in zip(padded, orig_shape)
+                    ]
+                    src = np.pad(src, pads)
+                # the host->device transfer runs HERE on the loader thread,
+                # overlapping the PREVIOUS volume's device scan — measured
+                # to hide completely on the tunneled transport (upload
+                # ~205 ms bf16 vs scan ~220 ms at 256x256x128, BASELINE r6)
+                vol_dev = prepare_volume(src, in_dtype)
+                _put((i, subject, orig_shape, vol_dev))
         except BaseException as exc:
             _put(exc)
         finally:
@@ -188,19 +237,6 @@ def predict(model=None, config=None, logger=None):
             )
         return seg_metrics(gt_t, pred_t, spacing)
 
-    # shape bucketing (opt-in): round spatial dims up to a multiple so
-    # heterogeneous volumes share ONE compiled program (each new volume
-    # shape otherwise recompiles the whole scan — minutes on remote-compile
-    # transports). The tile grid / crop rules follow the TRUE extent, so
-    # bucketed sliding-window predictions are byte-identical to unbucketed.
-    # NOTE whole_volume + bucket is NOT byte-identical to unbucketed
-    # whole-volume: the whole volume is padded to lcm(pad_multiple, bucket)
-    # BEFORE the single forward, so voxels near the true border see extra
-    # zero-pad context inside their receptive field (vs padding only to
-    # pad_multiple). Both are valid conv paddings of the same volume —
-    # pinned by tests/test_whole_volume_bucket.py.
-    bucket = int(getattr(config, "shape_bucket", 0) or 0)
-
     results = [None] * len(pairs)
     try:
         with ThreadPoolExecutor(max_workers=2) as pool:
@@ -211,31 +247,13 @@ def predict(model=None, config=None, logger=None):
                     break
                 if isinstance(item, BaseException):
                     raise item
-                i, subject, src = item
-                orig_shape = src.shape[1:]
-                if bucket:
-                    padded = tuple(-(-s // bucket) * bucket for s in orig_shape)
-                    pads = [(0, 0)] + [
-                        (0, p - s) for p, s in zip(padded, orig_shape)
-                    ]
-                    src = np.pad(src, pads)
+                i, subject, orig_shape, src_dev = item
                 if whole_volume:
-                    import math
-
-                    import jax.numpy as jnp
-
-                    from .models.registry import pad_multiple
                     from .ops.sliding_window import whole_volume_predict
 
-                    in_dtype = (
-                        jnp.bfloat16
-                        if getattr(config, "precision", "") == "bfloat16"
-                        else None
-                    )
-                    pm = pad_multiple(config.network)
                     pred_t = whole_volume_predict(
-                        forward, variables, src, mesh=mesh, input_dtype=in_dtype,
-                        pad_multiple=math.lcm(pm, bucket) if bucket else pm,
+                        forward, variables, src_dev, mesh=mesh,
+                        pad_multiple=wv_pad,
                     )
                     pred_t = pred_t[
                         :, : orig_shape[0], : orig_shape[1], : orig_shape[2]
@@ -244,7 +262,7 @@ def predict(model=None, config=None, logger=None):
                     pred_t = sliding_window_predict(
                         forward,
                         variables,
-                        src,
+                        src_dev,
                         config.patch_size,
                         overlap,
                         batch_size=int(config.batch_size),

@@ -167,3 +167,90 @@ def test_hausdorff95_empty_surfaces():
     assert metrics.hausdorff_95(gt, pred, (1, 1, 1)) == float("inf")
     assert metrics.hausdorff_95(pred, gt, (1, 1, 1)) == float("inf")
     assert metrics.hausdorff_95(gt, gt, (1, 1, 1)) == float("inf")
+
+
+def _bruteforce_hd95(gt, pred, spacing):
+    """Independent HD95 oracle: O(n^2) all-pairs surface distances.
+
+    Implements MONAI's documented semantics from scratch (no shared code
+    with metrics.hausdorff_95, which uses scipy EDT): a surface voxel is
+    foreground with a background 6-neighbor (out-of-bounds counts as
+    background — what binary erosion with border_value=0 produces, and
+    what MONAI's crop-with-margin yields); directed distances are
+    center-to-center Euclidean in physical units; HD95 = max of the two
+    directed 95th percentiles (np.percentile linear interpolation).
+    """
+    spacing = np.asarray(spacing, dtype=np.float64)
+
+    def surface_points(mask):
+        pts = []
+        shape = np.array(mask.shape)
+        for p in np.argwhere(mask):
+            if (p == 0).any() or (p == shape - 1).any():
+                pts.append(p)
+                continue
+            for ax in range(3):
+                for d in (-1, 1):
+                    q = p.copy()
+                    q[ax] += d
+                    if not mask[tuple(q)]:
+                        pts.append(p)
+                        break
+                else:
+                    continue
+                break
+        return np.asarray(pts, dtype=np.float64)
+
+    s_gt = surface_points(gt)
+    s_pred = surface_points(pred)
+    if len(s_gt) == 0 or len(s_pred) == 0:
+        return float("inf")
+
+    def directed(a, b):
+        d = np.sqrt(
+            (((a[:, None, :] - b[None, :, :]) * spacing) ** 2).sum(-1)
+        ).min(axis=1)
+        return np.percentile(d, 95)
+
+    return float(max(directed(s_pred, s_gt), directed(s_gt, s_pred)))
+
+
+def test_hd95_bruteforce_oracle_random_blobs():
+    """metrics.hausdorff_95 (scipy-EDT path) vs the O(n^2) brute-force
+    oracle on random smoothed blobs, isotropic and anisotropic spacing.
+    scipy's EDT is exact Euclidean, so agreement is to float precision."""
+    from scipy import ndimage
+
+    rng = np.random.default_rng(7)
+    for seed in range(6):
+        field_g = ndimage.gaussian_filter(
+            rng.normal(size=(12, 12, 12)), sigma=2.0
+        )
+        field_p = ndimage.gaussian_filter(
+            rng.normal(size=(12, 12, 12)), sigma=2.0
+        )
+        gt = field_g > np.percentile(field_g, 70)
+        pred = field_p > np.percentile(field_p, 70)
+        if not gt.any() or not pred.any():
+            continue
+        for spacing in [(1.0, 1.0, 1.0), (1.0, 1.5, 2.0)]:
+            got = metrics.hausdorff_95(gt, pred, spacing)
+            want = _bruteforce_hd95(gt, pred, spacing)
+            assert got == pytest.approx(want, rel=1e-9), (seed, spacing)
+
+
+def test_hd95_bruteforce_oracle_edge_cases():
+    gt = np.zeros((8, 8, 8), bool)
+    pred = np.zeros((8, 8, 8), bool)
+    # empty either side -> inf (reference behavior: monai warns + nan/inf;
+    # we report inf consistently)
+    gt[2, 2, 2] = True
+    assert metrics.hausdorff_95(gt, pred, (1, 1, 1)) == float("inf")
+    # single voxel vs single voxel: plain Euclidean distance
+    pred[5, 6, 2] = True
+    want = np.sqrt(3.0**2 + 4.0**2)
+    assert metrics.hausdorff_95(gt, pred, (1, 1, 1)) == pytest.approx(want)
+    assert _bruteforce_hd95(gt, pred, (1, 1, 1)) == pytest.approx(want)
+    # full-array masks: every border voxel is surface, distance 0
+    full = np.ones((6, 6, 6), bool)
+    assert metrics.hausdorff_95(full, full, (1, 2, 3)) == 0.0
