@@ -99,29 +99,39 @@ def bench_inference(network="unet", n_volumes=7, vol_shape=(256, 256, 128), patc
         prepare_volume,
     )
 
-    def run(vol_dev):
+    def run(vol_dev, on_dispatch=None, sync=True):
         return sliding_window_predict(
             forward, variables, vol_dev, (patch,) * 3, overlap,
-            batch_size=batch_size,
+            batch_size=batch_size, on_dispatch=on_dispatch, sync=sync,
         )
 
     run(prepare_volume(vol, jnp.bfloat16))  # warm the compiled scan
 
+    # ordered + deferred pipeline, like predict.py: the loader uploads the
+    # NEXT volume only after the current scan is DISPATCHED (on_dispatch
+    # releases; un-ordered uploads serialize the next dispatch behind
+    # ~200 ms of transfer), and each iteration fetches the PREVIOUS
+    # volume's mask while the current scan runs (sync=False thunks).
+    # Measured ~1.38x over the free-running prefetch (BASELINE.md r6).
     q: queue.Queue = queue.Queue(maxsize=2)
+    sem = threading.Semaphore(1)
 
     def loader():
         for _ in range(n_volumes):
+            sem.acquire()
             q.put(prepare_volume(vol, jnp.bfloat16))
 
     threading.Thread(target=loader, daemon=True).start()
-    times = []
+    pending = None
+    t0 = time.perf_counter()
     for _ in range(n_volumes):
-        t0 = time.perf_counter()
-        run(q.get())
-        times.append(time.perf_counter() - t0)
-    # median: single tunnel-latency outliers inflate the mean (run-to-run
-    # variance on this transport is +-40%; see BASELINE.md)
-    return 60.0 / float(np.median(times))
+        thunk = run(q.get(), on_dispatch=sem.release, sync=False)
+        if pending is not None:
+            pending()
+        pending = thunk
+    pending()
+    total = time.perf_counter() - t0
+    return 60.0 / (total / n_volumes)
 
 
 def bench_whole_volume(network="unet", n_volumes=5, vol_shape=(256, 256, 128)):
@@ -164,24 +174,34 @@ def bench_whole_volume(network="unet", n_volumes=5, vol_shape=(256, 256, 128)):
     padded = tuple(-(-s // pm) * pm for s in vol_shape)
     vol_p = np.pad(vol, [(0, 0)] + [(0, p - s) for p, s in zip(padded, vol_shape)])
 
-    def run(vol_dev):
-        return whole_volume_predict(forward, variables, vol_dev, pad_multiple=pm)
+    def run(vol_dev, on_dispatch=None, sync=True):
+        return whole_volume_predict(
+            forward, variables, vol_dev, pad_multiple=pm,
+            on_dispatch=on_dispatch, sync=sync,
+        )
 
     run(prepare_volume(vol_p, jnp.bfloat16))  # warm
 
+    # ordered + deferred pipeline (see bench_inference / predict.py)
     q: queue.Queue = queue.Queue(maxsize=2)
+    sem = threading.Semaphore(1)
 
     def loader():
         for _ in range(n_volumes):
+            sem.acquire()
             q.put(prepare_volume(vol_p, jnp.bfloat16))
 
     threading.Thread(target=loader, daemon=True).start()
-    times = []
+    pending = None
+    t0 = time.perf_counter()
     for _ in range(n_volumes):
-        t0 = time.perf_counter()
-        run(q.get())
-        times.append(time.perf_counter() - t0)
-    return 60.0 / float(np.median(times))
+        thunk = run(q.get(), on_dispatch=sem.release, sync=False)
+        if pending is not None:
+            pending()
+        pending = thunk
+    pending()
+    total = time.perf_counter() - t0
+    return 60.0 / (total / n_volumes)
 
 
 def bench_whole_volume_train(vol_shape=(256, 256, 128), n_steps=5, remat=False):

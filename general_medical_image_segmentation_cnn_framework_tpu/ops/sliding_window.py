@@ -265,6 +265,8 @@ def whole_volume_predict(
     pad_multiple: int = 16,
     mesh=None,
     input_dtype=None,
+    on_dispatch: Callable | None = None,
+    sync: bool = True,
 ) -> np.ndarray:
     """Single-shot whole-volume inference — no tiling at all.
 
@@ -320,8 +322,22 @@ def whole_volume_predict(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
-    mask = np.asarray(_whole_volume_jit(forward, variables, x, mesh))
-    return mask[:, : spatial[0], : spatial[1], : spatial[2]].astype(np.int32)
+    mask_dev = _whole_volume_jit(forward, variables, x, mesh)
+    if on_dispatch is not None:
+        # the jitted forward is now ENQUEUED (JAX async dispatch): signal
+        # the prefetch thread that it may start the next volume's bulk
+        # upload. Uploads issued BEFORE the dispatch serialize the dispatch
+        # behind ~200 ms of transfer on single-connection transports
+        # (measured, BASELINE.md r6) — this ordering hook removes that.
+        on_dispatch()
+
+    def _finish():
+        mask = np.asarray(mask_dev)
+        return mask[:, : spatial[0], : spatial[1], : spatial[2]].astype(
+            np.int32
+        )
+
+    return _finish() if sync else _finish
 
 
 def sliding_window_predict(
@@ -336,6 +352,8 @@ def sliding_window_predict(
     aggregate: str = "device",
     true_spatial=None,
     input_dtype=None,
+    on_dispatch: Callable | None = None,
+    sync: bool = True,
 ) -> np.ndarray:
     """Predict a full volume.
 
@@ -370,6 +388,19 @@ def sliding_window_predict(
                (shape bucketing): the tile grid, border-crop rules, and
                output shape all follow the TRUE extent, so bucketed
                predictions are byte-identical to unbucketed ones.
+    on_dispatch:
+               called once the device program for this volume is ENQUEUED
+               (before the blocking mask fetch). A prefetch thread should
+               gate its next bulk upload on this signal: an upload issued
+               between mask-fetch and the next dispatch serializes the
+               dispatch behind ~200 ms of transfer on single-connection
+               transports (measured; predict.py wires a semaphore).
+    sync:      False returns a zero-arg thunk instead of the mask: the
+               device program is dispatched, but the result download and
+               any host-side aggregation run only when the thunk is
+               called. Lets the caller software-pipeline volumes
+               (dispatch volume i, then fetch volume i-1's mask while
+               scan i runs) — predict.py does.
     input_dtype:
                upload dtype for the volume. ``jnp.bfloat16`` halves the
                host->device transfer, which DOMINATES the tunneled
@@ -417,48 +448,72 @@ def sliding_window_predict(
 
     starts_dev = jnp.asarray(starts)
     spatial_static = spatial if true_spatial is not None else None
+
+    def _result(dev, fmt):
+        # program enqueued (async dispatch) -> let the prefetch thread
+        # start the next upload, THEN block on the result download.
+        # sync=False defers that download (and host post-processing) into
+        # the returned thunk, so the caller can dispatch the NEXT volume's
+        # scan before fetching this one's mask — the fetch then waits on a
+        # scan that has already had a full pipeline period to finish.
+        if on_dispatch is not None:
+            on_dispatch()
+        if sync:
+            return fmt(np.asarray(dev))
+        return lambda: fmt(np.asarray(dev))
+
     if overlap_mode == "mean_logits":
         if aggregate == "device":
-            mask = np.asarray(
+            return _result(
                 _predict_volume_mean_logits(
                     forward, variables, vol_dev, starts_dev, jnp.int32(n),
                     patch_size, batch_size, mesh, spatial_static,
-                )
+                ),
+                lambda mask: mask[None].astype(np.int32),
             )
-            return mask[None].astype(np.int32)
-        logits = np.asarray(
+
+        def _agg_logits(logits):
+            agg = GridAggregator(
+                spatial, patch_overlap, overlap_mode="average",
+                num_channels=logits.shape[-1], dtype=np.float32,
+            )
+            agg.add_batch(np.moveaxis(logits[:n], -1, 1), locations)
+            return np.argmax(agg.get_output_tensor(), axis=0)[None].astype(
+                np.int32
+            )
+
+        return _result(
             _forward_all_tiles_logits(
                 forward, variables, vol_dev, starts_dev, patch_size,
                 batch_size, mesh,
-            )
-        )[:n]
-        agg = GridAggregator(
-            spatial, patch_overlap, overlap_mode="average",
-            num_channels=logits.shape[-1], dtype=np.float32,
+            ),
+            _agg_logits,
         )
-        agg.add_batch(np.moveaxis(logits, -1, 1), locations)
-        return np.argmax(agg.get_output_tensor(), axis=0)[None].astype(np.int32)
 
     # device aggregation implements crop semantics only; other modes
     # (e.g. 'average' mask blending) go through the host GridAggregator
     if aggregate == "device" and overlap_mode == "crop":
-        mask = np.asarray(
+        return _result(
             _predict_volume_crop(
                 forward, variables, vol_dev, starts_dev, patch_size,
                 batch_size, tuple(int(o) for o in patch_overlap), mesh,
                 spatial_static,
-            )
+            ),
+            lambda mask: mask[None].astype(np.int32),
         )
-        return mask[None].astype(np.int32)
 
-    aggregator = GridAggregator(
-        spatial, patch_overlap, overlap_mode=overlap_mode, num_channels=1, dtype=np.int32
-    )
-    all_masks = np.asarray(
+    def _agg_masks(all_masks):
+        aggregator = GridAggregator(
+            spatial, patch_overlap, overlap_mode=overlap_mode,
+            num_channels=1, dtype=np.int32,
+        )
+        aggregator.add_batch(all_masks[:n, None].astype(np.int32), locations)
+        return aggregator.get_output_tensor()
+
+    return _result(
         _forward_all_tiles(
             forward, variables, vol_dev, starts_dev, patch_size,
             batch_size, mesh,
-        )
+        ),
+        _agg_masks,
     )
-    aggregator.add_batch(all_masks[:n, None].astype(np.int32), locations)
-    return aggregator.get_output_tensor()

@@ -154,6 +154,21 @@ def predict(model=None, config=None, logger=None):
 
     load_q: queue_mod.Queue = queue_mod.Queue(maxsize=2)
     stop = threading.Event()
+    # Upload ordering: the loader may only start a bulk host->device
+    # transfer once the CURRENT volume's scan program has been DISPATCHED
+    # (on_dispatch below releases). An upload that lands on the wire
+    # between mask-fetch and the next dispatch serializes the dispatch
+    # behind ~200 ms of transfer on single-connection transports
+    # (measured, BASELINE.md r6) — ordered, it hides behind the running
+    # scan completely. Initial value 1: the first volume uploads with
+    # nothing in flight.
+    upload_sem = threading.Semaphore(1)
+
+    def _acquire_upload() -> bool:
+        while not stop.is_set():
+            if upload_sem.acquire(timeout=0.5):
+                return True
+        return False
 
     def _put(item):
         # stop-aware put: never block forever if the consumer already exited
@@ -220,6 +235,9 @@ def predict(model=None, config=None, logger=None):
                 # overlapping the PREVIOUS volume's device scan — measured
                 # to hide completely on the tunneled transport (upload
                 # ~205 ms bf16 vs scan ~220 ms at 256x256x128, BASELINE r6)
+                # — but only once that scan is dispatched (see upload_sem).
+                if not _acquire_upload():
+                    return
                 vol_dev = prepare_volume(src, in_dtype)
                 _put((i, subject, orig_shape, vol_dev))
         except BaseException as exc:
@@ -241,6 +259,24 @@ def predict(model=None, config=None, logger=None):
     try:
         with ThreadPoolExecutor(max_workers=2) as pool:
             futures = {}
+
+            def _drain(pend):
+                # fetch volume i-1's mask while volume i's scan runs on
+                # device (software pipelining: the fetch waits on a scan
+                # that has already had a full pipeline period to finish)
+                i, thunk, orig_shape, subject = pend
+                pred_t = thunk()
+                if whole_volume:
+                    pred_t = pred_t[
+                        :, : orig_shape[0], : orig_shape[1], : orig_shape[2]
+                    ]
+                futures[i] = pool.submit(
+                    _finish, i, pred_t, subject.gt.data,
+                    subject.source.affine, subject.source.spacing,
+                )
+                progress.update(file_task, completed=i + 1)
+
+            pending = None
             while True:
                 item = load_q.get()
                 if item is None:
@@ -251,15 +287,14 @@ def predict(model=None, config=None, logger=None):
                 if whole_volume:
                     from .ops.sliding_window import whole_volume_predict
 
-                    pred_t = whole_volume_predict(
+                    thunk = whole_volume_predict(
                         forward, variables, src_dev, mesh=mesh,
                         pad_multiple=wv_pad,
+                        on_dispatch=upload_sem.release,
+                        sync=False,
                     )
-                    pred_t = pred_t[
-                        :, : orig_shape[0], : orig_shape[1], : orig_shape[2]
-                    ]
                 else:
-                    pred_t = sliding_window_predict(
+                    thunk = sliding_window_predict(
                         forward,
                         variables,
                         src_dev,
@@ -269,12 +304,14 @@ def predict(model=None, config=None, logger=None):
                         overlap_mode=getattr(config, "blend", "crop") or "crop",
                         mesh=mesh,
                         true_spatial=orig_shape if bucket else None,
+                        on_dispatch=upload_sem.release,
+                        sync=False,
                     )
-                futures[i] = pool.submit(
-                    _finish, i, pred_t, subject.gt.data,
-                    subject.source.affine, subject.source.spacing,
-                )
-                progress.update(file_task, completed=i + 1)
+                if pending is not None:
+                    _drain(pending)
+                pending = (i, thunk, orig_shape, subject)
+            if pending is not None:
+                _drain(pending)
             for i, fut in futures.items():
                 results[i] = fut.result()
     finally:

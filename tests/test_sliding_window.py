@@ -4,6 +4,7 @@ single-dispatch scan path."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from general_medical_image_segmentation_cnn_framework_tpu.ops.sliding_window import (
     sliding_window_predict,
@@ -414,3 +415,75 @@ def test_prepared_device_volume_matches_host_paths():
         _threshold_forward, {}, prepare_volume(vol), pad_multiple=16
     )
     np.testing.assert_array_equal(w_host, w_dev)
+
+
+@pytest.mark.quick
+def test_on_dispatch_fires_once_and_output_unchanged():
+    """on_dispatch (the upload-ordering hook the pipelined predict loader
+    gates its next bulk transfer on) fires exactly once per volume, on
+    every aggregation path, and never changes the prediction."""
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.sliding_window import (
+        whole_volume_predict,
+    )
+
+    rng = np.random.default_rng(13)
+    vol = rng.normal(size=(1, 24, 20, 28)).astype(np.float32)
+    kw = dict(patch_size=(12, 12, 12), patch_overlap=(4, 4, 4), batch_size=3)
+
+    for mode_kw in (
+        dict(),  # crop + device aggregation (the CLI default)
+        dict(aggregate="host"),
+        dict(overlap_mode="mean_logits"),
+        dict(overlap_mode="mean_logits", aggregate="host"),
+    ):
+        calls = []
+        base = sliding_window_predict(_threshold_forward, {}, vol, **kw, **mode_kw)
+        hooked = sliding_window_predict(
+            _threshold_forward, {}, vol, on_dispatch=lambda: calls.append(1),
+            **kw, **mode_kw,
+        )
+        assert len(calls) == 1, mode_kw
+        np.testing.assert_array_equal(base, hooked)
+
+    calls = []
+    w_base = whole_volume_predict(_threshold_forward, {}, vol, pad_multiple=16)
+    w_hooked = whole_volume_predict(
+        _threshold_forward, {}, vol, pad_multiple=16,
+        on_dispatch=lambda: calls.append(1),
+    )
+    assert len(calls) == 1
+    np.testing.assert_array_equal(w_base, w_hooked)
+
+
+@pytest.mark.quick
+def test_deferred_fetch_matches_sync():
+    """sync=False returns a thunk whose result is identical to the sync
+    path, on every aggregation mode and for whole-volume — the contract
+    the software-pipelined predict loop (dispatch i, fetch i-1) relies on."""
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.sliding_window import (
+        whole_volume_predict,
+    )
+
+    rng = np.random.default_rng(17)
+    vol = rng.normal(size=(1, 24, 20, 28)).astype(np.float32)
+    kw = dict(patch_size=(12, 12, 12), patch_overlap=(4, 4, 4), batch_size=3)
+
+    for mode_kw in (
+        dict(),
+        dict(aggregate="host"),
+        dict(overlap_mode="mean_logits"),
+        dict(overlap_mode="mean_logits", aggregate="host"),
+    ):
+        base = sliding_window_predict(_threshold_forward, {}, vol, **kw, **mode_kw)
+        thunk = sliding_window_predict(
+            _threshold_forward, {}, vol, sync=False, **kw, **mode_kw
+        )
+        assert callable(thunk), mode_kw
+        np.testing.assert_array_equal(base, thunk())
+
+    w_base = whole_volume_predict(_threshold_forward, {}, vol, pad_multiple=16)
+    w_thunk = whole_volume_predict(
+        _threshold_forward, {}, vol, pad_multiple=16, sync=False
+    )
+    assert callable(w_thunk)
+    np.testing.assert_array_equal(w_base, w_thunk())
