@@ -460,6 +460,29 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
         opt_state = shard_params_fsdp(opt_state, mesh)
         batch_stats = replicate(mesh, batch_stats)
         logger.info("param sharding: fsdp (ZeRO-style over the data axis)")
+    elif getattr(config, "param_sharding", "replicated") == "tp":
+        from .parallel.tp import shard_params_tp, supports_tp
+
+        if not supports_tp(config.network):
+            logger.warning(
+                "param_sharding=tp: no tensor-parallel rules for network "
+                f"'{config.network}' (transformer families only) — "
+                "falling back to replicated parameters"
+            )
+            params = replicate(mesh, params)
+            opt_state = replicate(mesh, opt_state)
+            batch_stats = replicate(mesh, batch_stats)
+        else:
+            assert "model" in mesh.axis_names, (
+                "param_sharding=tp needs a 'model' mesh axis, e.g. "
+                'mesh_shape="data=2,model=4"'
+            )
+            params = shard_params_tp(params, mesh, config.network)
+            opt_state = shard_params_tp(opt_state, mesh, config.network)
+            batch_stats = replicate(mesh, batch_stats)
+            logger.info(
+                "param sharding: tp (Megatron-style over the model axis)"
+            )
     else:
         params = replicate(mesh, params)
         batch_stats = replicate(mesh, batch_stats)
