@@ -16,6 +16,7 @@ hardware).
 """
 
 import json
+import re
 import sys
 import time
 
@@ -525,10 +526,16 @@ def main() -> None:
                 return
             out = _run_ab_script(args, timeout=min(timeout, left))
             if out:
-                for metric, value, unit in parse(out):
-                    secondary.append(
-                        {"metric": metric, "value": round(value, 2), "unit": unit}
-                    )
+                # extras must NEVER fail the bench: the primary metric is
+                # already emitted, and a parse bug (r6: missing re import)
+                # would turn a successful hardware run into rc!=0
+                try:
+                    for metric, value, unit in parse(out):
+                        secondary.append(
+                            {"metric": metric, "value": round(value, 2), "unit": unit}
+                        )
+                except Exception as exc:  # noqa: BLE001
+                    print(f"[extras] {args[0]} parse failed: {exc}", file=sys.stderr)
                 emit()
 
         def parse_tlayout(out):
