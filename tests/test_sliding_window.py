@@ -487,3 +487,45 @@ def test_deferred_fetch_matches_sync():
     )
     assert callable(w_thunk)
     np.testing.assert_array_equal(w_base, w_thunk())
+
+
+@pytest.mark.quick
+def test_binary_mask_bitpack_parity():
+    """With 2 logit channels and Z % 8 == 0, the mask leaves the device
+    bit-packed (8x fewer bytes) and is unpacked on host — results must be
+    byte-identical to the direct computation, for every aggregation mode,
+    the whole-volume path, and the bucketed true_spatial path."""
+    from general_medical_image_segmentation_cnn_framework_tpu.ops.sliding_window import (
+        prepare_volume,
+        whole_volume_predict,
+    )
+
+    rng = np.random.default_rng(23)
+    vol = rng.normal(size=(1, 24, 20, 32)).astype(np.float32)  # Z % 8 == 0
+    expected = (vol > 0).astype(np.int32)
+    kw = dict(patch_size=(12, 12, 16), patch_overlap=(4, 4, 4), batch_size=3)
+
+    for mode_kw in (dict(), dict(overlap_mode="mean_logits")):
+        got = sliding_window_predict(_threshold_forward, {}, vol, **kw, **mode_kw)
+        np.testing.assert_array_equal(got, expected)
+
+    # bucketed: padded device volume, true Z still % 8 == 0
+    pad = np.pad(vol, [(0, 0), (0, 8), (0, 4), (0, 16)])
+    got = sliding_window_predict(
+        _threshold_forward, {}, prepare_volume(pad),
+        true_spatial=(24, 20, 32), **kw,
+    )
+    np.testing.assert_array_equal(got, expected)
+
+    # whole-volume (pads Z to 32 internally -> packed)
+    got = whole_volume_predict(_threshold_forward, {}, vol, pad_multiple=16)
+    np.testing.assert_array_equal(got, expected)
+
+    # multi-class (5 channels): must NOT pack, still exact
+    got5 = sliding_window_predict(
+        _position_dependent_forward, {}, vol, (12, 12, 16), (4, 4, 4),
+        batch_size=3,
+    )
+    np.testing.assert_array_equal(
+        got5, _expected_crop(vol, (12, 12, 16), (4, 4, 4))
+    )
