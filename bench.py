@@ -451,6 +451,18 @@ def main() -> None:
             emit()
         except Exception as e:  # secondary benches are informational
             print(f"[companion] {metric} failed: {str(e)[:200]}", file=sys.stderr)
+        finally:
+            # Each bench_* builds its own model/state/executables; live
+            # jitted programs pin device buffers and by the 8th secondary
+            # HBM is exhausted (vtnet whole-volume + unet2d-512 both hit
+            # RESOURCE_EXHAUSTED in one r7 run). In-process jit reuse
+            # between DIFFERENT secondaries is ~zero (different models and
+            # shapes) and the on-disk XLA cache keeps recompiles cheap, so
+            # dropping caches between benches costs little and frees HBM.
+            import gc
+
+            gc.collect()
+            jax.clear_caches()
 
     if cpu_fb:
         record(
