@@ -39,8 +39,10 @@ import jax.numpy as jnp
 
 def _parse_overlap(config) -> tuple:
     """Reference overlap semantics (predict driver): int or 'x, y, z',
-    clamped below the patch extent."""
-    overlap = config.patch_overlap
+    clamped below the patch extent; default half-patch when unset."""
+    overlap = getattr(config, "patch_overlap", None)
+    if overlap is None:
+        overlap = tuple(int(p) // 2 for p in config.patch_size)
     if isinstance(overlap, str):
         overlap = tuple(int(v) for v in overlap.split(","))
     elif isinstance(overlap, int):

@@ -114,6 +114,39 @@ def make_forward(config, model) -> Callable:
     """
     from .models.registry import is_2d
 
+    pp_stages = int(getattr(config, "pipeline_stages", 0) or 0)
+    if pp_stages > 1:
+        # GPipe pipeline parallelism (parallel/pp.py): the transformer
+        # encoder's identical blocks are staged over a 'stage' mesh axis;
+        # microbatches stream via ppermute. UNETR-only (12 identical
+        # blocks); exclusive with data-parallel meshes for now.
+        assert config.network == "unetr", (
+            f"pipeline_stages targets the stacked-block transformer "
+            f"families (unetr), got '{config.network}'"
+        )
+        import numpy as _np
+
+        from jax.sharding import Mesh as _Mesh
+
+        from .parallel.pp import unetr_pp_forward
+
+        devs = jax.devices()
+        assert len(devs) >= pp_stages, (
+            f"pipeline_stages={pp_stages} needs {pp_stages} devices, "
+            f"have {len(devs)}"
+        )
+        pp_mesh = _Mesh(_np.array(devs[:pp_stages]), ("stage",))
+        n_micro = int(getattr(config, "pp_microbatches", 0) or 0) or None
+
+        def forward(variables, x, train, rngs, mutable):
+            out = unetr_pp_forward(
+                model, variables, x, pp_mesh, train=train, n_micro=n_micro,
+                rngs=rngs, mutable=bool(mutable),
+            )
+            return out if mutable else (out, {})
+
+        return forward
+
     if is_2d(config.network):
 
         def forward(variables, x, train, rngs, mutable):
@@ -401,7 +434,17 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
         int(tuple(config.patch_size)[0]) if spatial_sharding
         else int(config.batch_size)
     )
-    mesh = make_data_mesh(getattr(config, "mesh_shape", "data=-1"), mesh_extent)
+    mesh_shape = getattr(config, "mesh_shape", "data=-1")
+    if int(getattr(config, "pipeline_stages", 0) or 0) > 1:
+        # the pipeline builds its own 'stage' mesh inside make_forward; a
+        # >1-device data mesh would fight its shardings — devices go to
+        # the pipeline, the outer data mesh collapses to one device
+        mesh_shape = "data=1"
+        logger.info(
+            f"pipeline_stages={config.pipeline_stages}: devices assigned "
+            "to the 'stage' mesh; data mesh collapsed to 1"
+        )
+    mesh = make_data_mesh(mesh_shape, mesh_extent)
     logger.info(
         f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}"
         + (" (spatial sharding)" if spatial_sharding else "")
