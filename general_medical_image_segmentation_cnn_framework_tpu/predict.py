@@ -19,6 +19,7 @@ from pathlib import Path
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .checkpoint import load_any_checkpoint
@@ -37,7 +38,8 @@ def make_forward_fn(config, model):
     """Jittable ``(variables, tiles) -> logits`` with IS band-split handling
     (reference predict.py:128-133). Variables are an argument, not a
     closure, so the compiled program doesn't embed the weights as
-    constants (see ops/sliding_window.py)."""
+    constants (see ops/sliding_window.py). ``config.tta`` wraps the
+    forward in flip-averaged test-time augmentation (see ``wrap_tta``)."""
     from .models.registry import is_2d
 
     if is_2d(config.network):
@@ -48,22 +50,72 @@ def make_forward_fn(config, model):
                 out = out[0]
             return out[:, None]
 
-        return forward
-
-    if config.network == "IS":
+    elif config.network == "IS":
 
         def forward(variables, tiles):
             low, high = band_split(tiles, limit=0.04)
             pred, _ = model.apply(variables, tiles, low, high, train=False)
             return pred
 
+    else:
+
+        def forward(variables, tiles):
+            out = model.apply(variables, tiles, train=False)
+            return out[0] if isinstance(out, tuple) else out
+
+    return wrap_tta(config, forward)
+
+
+def wrap_tta(config, forward):
+    """Flip-averaged test-time augmentation (``config.tta``; no reference
+    equivalent — the reference predicts each tile once, predict.py:128-133).
+
+    ``tta='flips'`` averages the logits over every combination of spatial
+    mirror flips (8 forwards for 3-D nets, 4 for 2-D); ``tta='flips:hw'``
+    restricts to a named subset of axes (d/h/w). All flips are traced into
+    the ONE jitted scan program — the tiles never leave the device, the
+    extra forwards batch straight onto the MXU, and the averaged logits
+    flow into the unchanged crop/mean-logits aggregation (so device-side
+    masking, bit-packing and blending all compose)."""
+    import itertools
+
+    from .models.registry import is_2d
+
+    spec = str(getattr(config, "tta", "") or "")
+    if not spec:
         return forward
+    two_d = is_2d(config.network)
+    # axis indices over the tile layout [B, D, H, W, C]
+    names = {"d": 1, "h": 2, "w": 3}
+    if spec == "flips":
+        axes = (2, 3) if two_d else (1, 2, 3)
+    elif spec.startswith("flips:"):
+        sel = spec.split(":", 1)[1]
+        bad = [c for c in sel if c not in names]
+        if bad or not sel:
+            raise KeyError(f"tta='{spec}': axes must be a subset of 'dhw'")
+        axes = tuple(names[c] for c in sel)
+        if two_d and 1 in axes:
+            raise KeyError(
+                f"tta='{spec}': 2-D network '{config.network}' has no depth "
+                "axis to flip (use flips:hw)"
+            )
+    else:
+        raise KeyError(f"unknown tta '{spec}' ('' | flips | flips:<dhw subset>)")
+    combos = [
+        c for r in range(len(axes) + 1) for c in itertools.combinations(axes, r)
+    ]
 
-    def forward(variables, tiles):
-        out = model.apply(variables, tiles, train=False)
-        return out[0] if isinstance(out, tuple) else out
+    def tta_forward(variables, tiles):
+        acc = None
+        for c in combos:
+            x = jnp.flip(tiles, c) if c else tiles
+            y = forward(variables, x)
+            y = jnp.flip(y, c) if c else y
+            acc = y if acc is None else acc + y
+        return acc / len(combos)
 
-    return forward
+    return tta_forward
 
 
 def predict(model=None, config=None, logger=None):

@@ -104,6 +104,44 @@ def step_lr(init_lr: float, step_size: int, gamma: float, epoch: int) -> float:
     return init_lr * (gamma ** (epoch // step_size))
 
 
+def make_scheduler(config) -> Callable[[int], float]:
+    """Per-epoch learning-rate schedule ``f(completed_epochs) -> lr``.
+
+    ``scheduler=step`` (default) is the reference's StepLR exactly
+    (train.py:119); ``cosine`` (decay to ``lr_min`` over config.epochs)
+    and ``poly`` ((1 - e/E)^lr_poly_power — the medical-seg standard)
+    are capability extensions, each composing with ``warmup_epochs``
+    linear warmup from lr_min. All are pure host-side floats written
+    into the one inject_hyperparams slot per epoch — no retrace."""
+    import math
+
+    name = str(getattr(config, "scheduler", "step") or "step").lower()
+    init_lr = float(config.init_lr)
+    epochs = max(int(config.epochs), 1)
+    warmup = int(getattr(config, "warmup_epochs", 0) or 0)
+    lr_min = float(getattr(config, "lr_min", 0.0) or 0.0)
+    power = float(getattr(config, "lr_poly_power", 0.9) or 0.9)
+    if name not in ("step", "cosine", "poly"):
+        raise KeyError(f"unknown scheduler '{name}' (step | cosine | poly)")
+
+    def schedule(epoch: int) -> float:
+        if warmup and epoch < warmup:
+            frac = (epoch + 1) / warmup
+            return lr_min + (init_lr - lr_min) * frac
+        e = epoch - warmup
+        span = max(epochs - warmup, 1)
+        if name == "step":
+            return step_lr(
+                init_lr, config.scheduler_step_size, config.scheduler_gamma, epoch
+            )
+        if name == "cosine":
+            t = min(e / span, 1.0)
+            return lr_min + (init_lr - lr_min) * 0.5 * (1 + math.cos(math.pi * t))
+        return lr_min + (init_lr - lr_min) * (1.0 - min(e / span, 1.0)) ** power
+
+    return schedule
+
+
 def make_forward(config, model) -> Callable:
     """Network-specific input prep + output selection.
 
@@ -208,9 +246,48 @@ def init_train_state(config, model, rng) -> Tuple[Dict, Dict, Any, optax.Gradien
         variables = jax.jit(partial(model.init, train=False))(init_rngs, x0)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx = optax.inject_hyperparams(optax.adam)(learning_rate=config.init_lr)
+    tx = make_optimizer(config)
     opt_state = tx.init(params)
     return params, batch_stats, opt_state, tx
+
+
+def make_optimizer(config) -> optax.GradientTransformation:
+    """Configurable optimizer. The reference hardcodes ``Adam(init_lr)``
+    (reference train.py:117); ``config.optimizer`` additionally exposes
+    adamw (decoupled ``weight_decay``) and sgd (``momentum``), and
+    ``config.grad_clip`` > 0 prepends global-norm gradient clipping.
+
+    The learning rate stays an ``inject_hyperparams`` hyperparam so the
+    per-epoch StepLR write (``opt_state.hyperparams['learning_rate']``)
+    works for every choice; with the defaults (adam, no clip) the opt
+    state tree is identical to the original hardcoded one, so existing
+    checkpoints keep loading."""
+    name = str(getattr(config, "optimizer", "adam") or "adam").lower()
+    wd = float(getattr(config, "weight_decay", 0.0) or 0.0)
+    momentum = float(getattr(config, "momentum", 0.0) or 0.0)
+    clip = float(getattr(config, "grad_clip", 0.0) or 0.0)
+
+    if name not in ("adam", "adamw", "sgd"):
+        raise KeyError(f"unknown optimizer '{name}' (adam | adamw | sgd)")
+
+    if name == "adam" and clip <= 0.0:
+        # the original hardcoded form: inject_hyperparams(optax.adam) also
+        # lifts b1/b2/eps into hyperparams, so the opt-state TREE (and with
+        # it every pre-existing checkpoint) stays byte-compatible
+        return optax.inject_hyperparams(optax.adam)(learning_rate=config.init_lr)
+
+    def make_tx(learning_rate):
+        if name == "adam":
+            opt = optax.adam(learning_rate)
+        elif name == "adamw":
+            opt = optax.adamw(learning_rate, weight_decay=wd)
+        else:
+            opt = optax.sgd(learning_rate, momentum=momentum or None)
+        if clip > 0.0:
+            opt = optax.chain(optax.clip_by_global_norm(clip), opt)
+        return opt
+
+    return optax.inject_hyperparams(make_tx)(learning_rate=config.init_lr)
 
 
 def make_loss_fn(config) -> Callable:
@@ -324,10 +401,10 @@ def make_train_step(config, model, tx, mesh=None) -> Callable:
     if mesh is not None:  # dp_backend=shard_map (see make_shardmap_forward)
         forward = make_shardmap_forward(config, model, mesh, forward)
     loss_and_metric = make_loss_and_metric(config)
+    accum = int(getattr(config, "grad_accum", 1) or 1)
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, batch_stats, opt_state, x, gt, rng):
-        """x: [B, D, H, W, C]; gt: [B, D, H, W, 1] binary (or int labels)."""
+    def micro_grads(params, batch_stats, x, gt, rng):
+        """One microbatch's (loss, dice, new_stats, grads)."""
 
         def loss_fn(p):
             variables = {"params": p, "batch_stats": batch_stats}
@@ -341,11 +418,56 @@ def make_train_step(config, model, tx, mesh=None) -> Callable:
         (loss, (dice, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params
         )
+        return loss, dice, new_stats, grads
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, batch_stats, opt_state, x, gt, rng):
+        """x: [B, D, H, W, C]; gt: [B, D, H, W, 1] binary (or int labels)."""
+        loss, dice, new_stats, grads = micro_grads(params, batch_stats, x, gt, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, batch_stats if not new_stats else new_stats, opt_state, loss, dice
 
-    return train_step
+    if accum <= 1:
+        return train_step
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step_accum(params, batch_stats, opt_state, x, gt, rng):
+        """Gradient accumulation (``config.grad_accum = A``): the [B, ...]
+        batch is split into A microbatches scanned sequentially — only one
+        microbatch's activations are ever live, so the effective batch size
+        is no longer bounded by HBM (the TPU analogue of the reference's
+        only memory lever, host-side patch shrinking). Mean-reduced losses
+        make the averaged microbatch grads equal the full-batch grad (exact
+        for mean-criteria; sum-based dice losses see per-microbatch
+        normalization, like any accumulation scheme). BatchNorm running
+        stats update per microbatch, sequentially — identical semantics to
+        running A smaller steps."""
+        b = x.shape[0]
+        assert b % accum == 0, (
+            f"grad_accum={accum} must divide batch_size ({b})"
+        )
+        xm = x.reshape((accum, b // accum) + x.shape[1:])
+        gm = gt.reshape((accum, b // accum) + gt.shape[1:])
+        rngs = jax.random.split(rng, accum)
+
+        def body(carry, inp):
+            stats, gacc, lacc, dacc = carry
+            x_i, g_i, r_i = inp
+            loss, dice, stats, grads = micro_grads(params, stats, x_i, g_i, r_i)
+            gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+            return (stats, gacc, lacc + loss, dacc + dice), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (new_stats, gsum, lsum, dsum), _ = jax.lax.scan(
+            body, (batch_stats, zeros, jnp.zeros(()), jnp.zeros(())), (xm, gm, rngs)
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, lsum / accum, dsum / accum
+
+    return train_step_accum
 
 
 def evaluate(config, model, params, batch_stats, logger, forward=None) -> float:
@@ -538,6 +660,38 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
     train_step = make_train_step(config, model, tx, mesh=mesh if dp_shardmap else None)
     checkpointer = AsyncCheckpointer()
 
+    if use_epoch_scan and int(getattr(config, "grad_accum", 1) or 1) > 1:
+        raise ValueError(
+            "grad_accum > 1 is a per-step-loop feature; epoch_scan already "
+            "compiles the whole epoch into one program (drop epoch_scan, or "
+            "lower batch_size instead)"
+        )
+
+    # EMA of the params (config.ema_decay > 0): a shadow tree updated on
+    # device after every step, periodically written as a normal checkpoint
+    # (ema_checkpoint.ckpt) so predict loads it via config.ckpt unchanged.
+    ema_decay = float(getattr(config, "ema_decay", 0.0) or 0.0)
+    ema_params = None
+    if ema_decay:
+        assert 0.0 < ema_decay < 1.0, f"ema_decay={ema_decay} must be in (0,1)"
+        if use_epoch_scan:
+            raise ValueError(
+                "ema_decay is a per-step-loop feature (the whole-epoch scan "
+                "does not thread an EMA tree); drop epoch_scan to use it"
+            )
+        # fresh buffers: replicate() may alias params' device-0 buffer, and
+        # the donated train step would otherwise delete the EMA's storage
+        ema_params = jax.jit(
+            lambda t: jax.tree_util.tree_map(lambda a: a + jnp.zeros((), a.dtype), t)
+        )(params)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def ema_update(ema, p):
+            return jax.tree_util.tree_map(
+                lambda a, b: ema_decay * a + (1.0 - ema_decay) * b.astype(a.dtype),
+                ema, p,
+            )
+
     # Whole-epoch scan path: one XLA program per epoch (ops/epoch_scan.py).
     if use_epoch_scan:
         from .data.device_prep import DevicePatchDataset
@@ -609,6 +763,7 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
+    lr_schedule = make_scheduler(config)
     loss_meter, dice_meter = AverageMeter(), AverageMeter()
     load_meter, step_meter = AverageMeter(), AverageMeter()
     # Resume continues the TensorBoard step axis where the previous run left
@@ -624,11 +779,9 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
 
     for epoch in range(elapsed_epochs + 1, epochs + 1):
         loss_meter.reset(), dice_meter.reset(), load_meter.reset(), step_meter.reset()
-        # StepLR stepped per epoch: lr for this epoch reflects epoch-1 steps
+        # scheduler stepped per epoch: lr for this epoch reflects epoch-1 steps
         if getattr(config, "use_scheduler", True):
-            lr = step_lr(
-                config.init_lr, config.scheduler_step_size, config.scheduler_gamma, epoch - 1
-            )
+            lr = lr_schedule(epoch - 1)
             opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
 
         if use_epoch_scan:
@@ -699,6 +852,8 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
                 params, batch_stats, opt_state, loss, dice = train_step(
                     params, batch_stats, opt_state, batch["x"], batch["y"], step_rng
                 )
+                if ema_params is not None:
+                    ema_params = ema_update(ema_params, params)
                 # one-step-deferred scalar fetch: float() blocks until the
                 # device finishes, so fetching step i only AFTER step i+1 is
                 # dispatched keeps the device busy through the host-side
@@ -721,6 +876,18 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
         checkpointer.save_epoch(
             config, config.hydra_path, epoch, params, batch_stats, opt_state
         )
+        if ema_params is not None and (
+            epoch % int(config.epochs_per_checkpoint) == 0 or epoch == epochs
+        ):
+            # a normal-format checkpoint with the EMA tree in the params
+            # slot: predict/serve load it via config.ckpt with no new code
+            from .checkpoint import save_checkpoint
+
+            checkpointer.wait()
+            save_checkpoint(
+                os.path.join(config.hydra_path, "ema_checkpoint.ckpt"),
+                ema_params, batch_stats, opt_state, epoch,
+            )
 
         # optional whole-volume validation + best-checkpoint tracking
         val_interval = int(getattr(config, "val_interval", 0) or 0)
@@ -761,6 +928,7 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
         "params": params,
         "batch_stats": batch_stats,
         "opt_state": opt_state,
+        "ema_params": ema_params,
         "epoch": epochs,
         "loss": loss_meter.avg,
         "dice": dice_meter.avg,
