@@ -107,13 +107,31 @@ def wrap_tta(config, forward):
     ]
 
     def tta_forward(variables, tiles):
-        acc = None
-        for c in combos:
-            x = jnp.flip(tiles, c) if c else tiles
-            y = forward(variables, x)
-            y = jnp.flip(y, c) if c else y
-            acc = y if acc is None else acc + y
-        return acc / len(combos)
+        # One lax.scan over the stacked flip variants: the model forward is
+        # traced ONCE, not len(combos) times — an unrolled 8x program blew
+        # past the tunnel's remote-compile budget (BASELINE r8) while this
+        # form compiles like the plain forward. The un-flip is a vectorized
+        # take_along_axis per axis (reversal == gather with reversed
+        # indices), bit-identical to flipping each output individually.
+        stack = jnp.stack(
+            [jnp.flip(tiles, c) if c else tiles for c in combos]
+        )
+
+        def body(_, xt):
+            return None, forward(variables, xt)
+
+        _, ys = jax.lax.scan(body, None, stack)  # [V, B, ..., n_classes]
+        for ax in axes:  # tile axis ax -> ys axis ax+1 (variant dim in front)
+            out_ax = ax + 1
+            n = ys.shape[out_ax]
+            rev = jnp.arange(n - 1, -1, -1)
+            fwd_idx = jnp.arange(n)
+            sel = jnp.asarray([ax in c for c in combos])
+            idx = jnp.where(sel[:, None], rev[None, :], fwd_idx[None, :])
+            shape = [len(combos)] + [1] * (ys.ndim - 1)
+            shape[out_ax] = n
+            ys = jnp.take_along_axis(ys, idx.reshape(shape), axis=out_ax)
+        return jnp.mean(ys, axis=0)
 
     return tta_forward
 
