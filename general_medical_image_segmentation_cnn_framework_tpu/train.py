@@ -131,8 +131,12 @@ def make_scheduler(config) -> Callable[[int], float]:
         e = epoch - warmup
         span = max(epochs - warmup, 1)
         if name == "step":
+            # warmup-shifted index, consistent with cosine/poly: with
+            # warmup_epochs >= scheduler_step_size the first post-warmup
+            # epoch must start at init_lr, not a decayed value (warmup=0
+            # keeps e == epoch, i.e. reference StepLR bit-for-bit)
             return step_lr(
-                init_lr, config.scheduler_step_size, config.scheduler_gamma, epoch
+                init_lr, config.scheduler_step_size, config.scheduler_gamma, e
             )
         if name == "cosine":
             t = min(e / span, 1.0)
@@ -280,7 +284,16 @@ def make_optimizer(config) -> optax.GradientTransformation:
         if name == "adam":
             opt = optax.adam(learning_rate)
         elif name == "adamw":
-            opt = optax.adamw(learning_rate, weight_decay=wd)
+            # standard medical-seg practice: no decoupled weight decay on
+            # 1-D leaves (BatchNorm scale/bias, conv biases) — only matrix/
+            # conv kernels decay
+            opt = optax.adamw(
+                learning_rate,
+                weight_decay=wd,
+                mask=lambda params: jax.tree_util.tree_map(
+                    lambda p: jnp.ndim(p) > 1, params
+                ),
+            )
         else:
             opt = optax.sgd(learning_rate, momentum=momentum or None)
         if clip > 0.0:
@@ -430,6 +443,24 @@ def make_train_step(config, model, tx, mesh=None) -> Callable:
 
     if accum <= 1:
         return train_step
+
+    # grad_accum changes semantics for non-mean-reduced criteria: each
+    # microbatch's dice denominator is its OWN sum (like any accumulation
+    # scheme), so the accumulated step != the full-batch step for the dice
+    # family; BatchNorm stats likewise update per microbatch. Mirror the
+    # epoch_scan rejection above with a one-time visible notice (VERDICT
+    # r4 #5) instead of silent drift.
+    loss_name = str(getattr(config, "loss", "bce") or "bce").lower()
+    if "dice" in loss_name:
+        import warnings
+
+        warnings.warn(
+            f"grad_accum={accum} with loss='{loss_name}': the dice term is "
+            "normalized PER MICROBATCH (its denominator is a global batch "
+            "sum), so the accumulated gradient differs from the full-batch "
+            "gradient; mean-reduced criteria (bce/focal) stay exact. "
+            "BatchNorm running stats also update once per microbatch."
+        )
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step_accum(params, batch_stats, opt_state, x, gt, rng):
@@ -616,6 +647,7 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
         batch_stats = restored["batch_stats"]
         opt_state = restored["opt_state"]
         elapsed_epochs = restored["epoch"]
+        resume_dir = os.path.dirname(str(ckpt_path))
         logger.info(f"resumed from {ckpt_path} at epoch {elapsed_epochs}")
 
     if getattr(config, "param_sharding", "replicated") == "fsdp":
@@ -681,9 +713,22 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
             )
         # fresh buffers: replicate() may alias params' device-0 buffer, and
         # the donated train step would otherwise delete the EMA's storage
+        ema_seed = params
+        if elapsed_epochs:  # resume: recover the EMA history if it exists
+            ema_path = os.path.join(resume_dir, "ema_checkpoint.ckpt")
+            if os.path.exists(ema_path):
+                from .checkpoint import load_any_checkpoint as _load_ckpt
+
+                ema_seed = _load_ckpt(ema_path, {"params": params})["params"]
+                logger.info(f"resumed EMA weights from {ema_path}")
+            else:
+                logger.warning(
+                    f"resuming with ema_decay but no {ema_path}: the EMA "
+                    "restarts from the restored raw params"
+                )
         ema_params = jax.jit(
             lambda t: jax.tree_util.tree_map(lambda a: a + jnp.zeros((), a.dtype), t)
-        )(params)
+        )(ema_seed)
 
         @partial(jax.jit, donate_argnums=(0,))
         def ema_update(ema, p):
@@ -884,9 +929,12 @@ def train(config, model=None, logger=None) -> Dict[str, Any]:
             from .checkpoint import save_checkpoint
 
             checkpointer.wait()
+            # opt_state stays EMPTY: predict/serve and the EMA-resume path
+            # read only params/batch_stats, the raw run's Adam moments
+            # belong to the raw trajectory (and would double the file)
             save_checkpoint(
                 os.path.join(config.hydra_path, "ema_checkpoint.ckpt"),
-                ema_params, batch_stats, opt_state, epoch,
+                ema_params, batch_stats, {}, epoch,
             )
 
         # optional whole-volume validation + best-checkpoint tracking

@@ -58,10 +58,12 @@ def test_ema_tracks_params_and_checkpoints(synthetic_dataset, tmp_path):
 
     path = os.path.join(cfg.hydra_path, "ema_checkpoint.ckpt")
     assert os.path.exists(path)
+    # predict's template: params/batch_stats only — ema_checkpoint.ckpt
+    # deliberately stores NO opt_state (the raw run's Adam moments belong
+    # to the raw trajectory and would double the file; ADVICE r4)
     template = {
         "params": result["params"],
         "batch_stats": result["batch_stats"],
-        "opt_state": result["opt_state"],
         "epoch": 0,
     }
     restored = load_any_checkpoint(path, template)
@@ -70,6 +72,7 @@ def test_ema_tracks_params_and_checkpoints(synthetic_dataset, tmp_path):
         jax.tree_util.tree_leaves(result["ema_params"]),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert load_any_checkpoint(path)["opt_state"] == {}
 
 
 def test_ema_exact_one_step(synthetic_dataset, tmp_path):
@@ -109,3 +112,29 @@ def test_ema_rejected_with_epoch_scan(synthetic_dataset, tmp_path):
     )
     with pytest.raises(ValueError, match="ema_decay"):
         train(cfg)
+
+
+def test_ema_resume_recovers_history(synthetic_dataset, tmp_path):
+    """load_mode=1 + ema_decay must reload ema_checkpoint.ckpt from the
+    resume directory instead of silently re-seeding the EMA from the
+    restored raw params (ADVICE r4). Resuming with the same epoch count
+    runs zero new steps, so the resumed run's EMA tree must equal the
+    first run's saved EMA exactly — without the fix it equals the raw
+    params instead (which differ after 3 steps, per the first test)."""
+    cfg = _compose(
+        synthetic_dataset, tmp_path, "config.ema_decay=0.9",
+        "config.epochs_per_checkpoint=1",
+    )
+    first = train(cfg)
+
+    cfg2 = _compose(
+        synthetic_dataset, tmp_path, "config.ema_decay=0.9",
+        "config.load_mode=1",
+        f"config.ckpt={os.path.join(cfg.hydra_path, cfg.latest_checkpoint_file)}",
+    )
+    resumed = train(cfg2)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(resumed["ema_params"]),
+        jax.tree_util.tree_leaves(first["ema_params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -244,3 +244,73 @@ def test_hd95_monai_crosscheck():
         )
         got = metrics.hausdorff_95(gt > 0, pred > 0, spacing)
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def _monai_pipeline_hd95(pred, gt, spacing, percentile=95):
+    """Transcription of the monai call chain the reference invokes
+    (metric.py:29-32 -> monai.metrics.compute_hausdorff_distance with
+    percentile=95, directed=False), written directly from monai's
+    published algorithm so it EXECUTES in this environment (monai itself
+    is not installable here; VERDICT r4 #6):
+
+      get_mask_edges:      surface = mask XOR binary_erosion(mask)
+                           (scipy zero-padded border => edge voxels that
+                           touch the array boundary count as surface)
+      get_surface_distance: EDT of the complement of the OTHER surface,
+                           sampled at the physical spacing, indexed at
+                           this surface's voxels
+      hd95:                max over both directions of the linearly
+                           interpolated 95th percentile (torch.quantile
+                           == np.percentile default)
+
+    Deliberately does NOT crop — monai's union-bounding-box crop is a
+    pure optimization, so this full-volume form is the semantic ground
+    truth the crop must preserve. No code shared with
+    metrics.hausdorff_95 beyond scipy itself.
+    """
+    from scipy import ndimage
+
+    pred = np.asarray(pred, dtype=bool)
+    gt = np.asarray(gt, dtype=bool)
+    if not pred.any() or not gt.any():
+        return float("inf")
+    e_pred = pred ^ ndimage.binary_erosion(pred)
+    e_gt = gt ^ ndimage.binary_erosion(gt)
+    if not e_pred.any() or not e_gt.any():
+        return float("inf")
+    sp = np.asarray(spacing, dtype=np.float64)
+    d_pred_to_gt = ndimage.distance_transform_edt(~e_gt, sampling=sp)[e_pred]
+    d_gt_to_pred = ndimage.distance_transform_edt(~e_pred, sampling=sp)[e_gt]
+    return float(
+        max(
+            np.percentile(d_pred_to_gt, percentile),
+            np.percentile(d_gt_to_pred, percentile),
+        )
+    )
+
+
+def test_hd95_monai_pipeline_always_runs():
+    """metrics.hausdorff_95 (union-bbox-cropped EDT) == the full-volume
+    monai-pipeline transcription above, on isotropic + anisotropic
+    spacings and an edge-touching mask. Unlike test_hd95_monai_crosscheck
+    (which needs monai installed), this executes everywhere."""
+    cases = [
+        (_blob_pair(9), (1.0, 1.0, 1.0)),
+        (_blob_pair(10), (0.7, 1.1, 2.3)),
+        (_blob_pair(11, shape=(16, 30, 13)), (2.0, 0.5, 1.0)),
+    ]
+    # a mask touching the array border: its border face is all surface
+    # (zero-padded erosion), which the crop path must reproduce
+    gt_edge = np.zeros((18, 19, 20), np.int64)
+    gt_edge[0:7, 3:12, 5:15] = 1
+    pred_edge = np.roll(gt_edge, (2, 1, 0), (0, 1, 2))
+    cases.append(((gt_edge, pred_edge), (1.3, 0.9, 1.1)))
+    for (gt, pred), spacing in cases:
+        want = _monai_pipeline_hd95(pred > 0, gt > 0, spacing)
+        got = metrics.hausdorff_95(gt > 0, pred > 0, spacing)
+        np.testing.assert_allclose(got, want, rtol=1e-9, err_msg=str(spacing))
+    # degenerate: one side empty -> inf, matching seg_metrics' guard
+    empty = np.zeros((8, 8, 8), bool)
+    gt, pred = _blob_pair(12, shape=(8, 8, 8))
+    assert _monai_pipeline_hd95(empty, gt > 0, (1, 1, 1)) == float("inf")
+    assert metrics.hausdorff_95(gt > 0, empty, (1, 1, 1)) == float("inf")

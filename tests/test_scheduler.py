@@ -72,3 +72,17 @@ def test_unknown_scheduler_raises():
     cfg.scheduler = "exponential"
     with pytest.raises(KeyError):
         make_scheduler(cfg)
+
+
+def test_step_with_warmup_uses_shifted_index():
+    """warmup_epochs >= scheduler_step_size: the first post-warmup epoch
+    must start at init_lr, not a pre-decayed value (ADVICE r4) — the step
+    branch counts epochs AFTER warmup, like cosine/poly."""
+    cfg = _Cfg()
+    cfg.warmup_epochs = 25  # > step_size=20
+    cfg.lr_min = 0.001
+    sched = make_scheduler(cfg)
+    np.testing.assert_allclose(sched(25), 0.01)  # first post-warmup epoch
+    np.testing.assert_allclose(sched(25 + 20), 0.01 * 0.8)
+    for e in range(25, 100):
+        assert sched(e) == step_lr(0.01, 20, 0.8, e - 25)
