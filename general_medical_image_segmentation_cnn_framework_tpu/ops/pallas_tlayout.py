@@ -65,16 +65,50 @@ def supported(
     keep outputs and every gradient exact (pad's VJP slices them away).
     In T-layout the pad costs (cin_pad/cin)x input bytes — for the
     Cin=1 stem that is 32x of a small tensor where channels-LAST XLA
-    pays the full 128x lane-padding (r2 note: 5-6 ms at 128^3)."""
+    pays the full 128x lane-padding (r2 note: 5-6 ms at 128^3).
+
+    Big-channel shapes must additionally FIT: the kernels hold the whole
+    [3*Cout, 9*Cin] weight block plus the im2col scratch in VMEM, and
+    two UNETR decoder convs overflowed the 16 MB scoped-vmem limit on a
+    real v5e (r9 HW session): Cin=512/Cout=256 needed 18.60M, and
+    Cin=256/Cout=128 WITH bias 17.11M. Mosaic's scoped accounting runs
+    up to ~2.2 MB above _vmem_resident_estimate on those measured
+    points (pipelining double-buffers operands the estimate counts
+    once), so the gate uses a 14 MB budget — 2 MB of margin below the
+    hardware limit. Rejected shapes fall back to the XLA tap-grouped
+    route; recalibrate against real compiles before loosening."""
     if cin % 32 and not allow_cinpad:
         return False
     if cout % 8:
         return False
     if w % 128 == 0:
-        return True
-    if w >= 32 and 128 % w == 0:
-        return d is None or d % (128 // w) == 0
-    return False
+        pass
+    elif w >= 32 and 128 % w == 0:
+        if d is not None and d % (128 // w):
+            return False
+    else:
+        return False
+    return _vmem_resident_estimate(cin, cout, dtype) <= 14 << 20
+
+
+def _vmem_resident_estimate(cin: int, cout: int, dtype, bh: int = 8) -> int:
+    """Worst-case VMEM tenancy of the conv3d_tlayout family at the default
+    tiling, in bytes. Covers fwd AND the grad kernels (whose im2col/slab
+    scratch scale with Cout instead of Cin) via max(cin, cout); the lane
+    dim is always the folded 128 and the f32 depth accumulator is capped
+    near 6 MB by the hc rule (conv3d_tlayout_fused)."""
+    item = jnp.dtype(dtype).itemsize
+    cin_p = ((cin + 31) // 32) * 32  # cinpad wrapper pads to the tile
+    c_big = max(cin_p, cout)
+    w_eff = 128
+    weights = 3 * cout * 9 * cin_p * item
+    im2col = 9 * c_big * bh * w_eff * item
+    slab = 2 * (bh + 2) * c_big * w_eff * item  # double-buffered input
+    acc = 6 << 20  # f32 revolving depth accumulator, hc-capped near 6MB
+    # out block is hc*Cout*W at the conv dtype = acc * item / 12
+    out_block = acc * item // 12
+    bias_tile = cout * w_eff * 4
+    return weights + im2col + slab + acc + out_block + bias_tile
 
 
 def _build_rhs(sl, rhs, lane, *, bh, cin, w, w_seg):

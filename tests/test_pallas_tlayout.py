@@ -436,12 +436,16 @@ def test_unet_forward_with_tlayout_routing(monkeypatch):
 
 @pytest.mark.quick
 def test_unetr_decoder_tlayout_routing_audit(monkeypatch):
-    """VERDICT r3 #7 routing half: at the flagship 128^3 input, every
-    UNETR decoder conv at W >= 32 — the pyramid the r3 transformer
-    profile measured at 91.6% of the step — routes through the T-layout
-    kernel (W=128 direct; W in {64, 32} via depth-slice lane folding),
-    and nothing below W=32 or the Cin=4 stem does. Shape-level audit via
-    jax.eval_shape: no compute, no compile."""
+    """VERDICT r3 #7 routing half, at the flagship precision (bf16): the
+    UNETR decoder convs the r3 transformer profile measured at 91.6% of
+    the step route through the T-layout kernel WHERE THEY FIT — W=128
+    direct, W=64 via depth-slice lane folding, the Cin=4 stem via the
+    cinpad wrapper. The 32^3 level's big-channel merges (Cin 256/512) now
+    correctly do NOT route: their [3*Cout, 9*Cin] weight block + im2col
+    scratch exceed the 16 MB scoped-vmem limit — the r9 HW session hit
+    exactly that ("Ran out of memory in memory space vmem ... 18.60M",
+    Cin=512 Cout=256) when the old shape-only gate routed them. Shape-
+    level audit via jax.eval_shape: no compute, no compile."""
     from general_medical_image_segmentation_cnn_framework_tpu.models.three_d.unetr import (
         UNETR,
     )
@@ -456,7 +460,10 @@ def test_unetr_decoder_tlayout_routing_audit(monkeypatch):
 
     monkeypatch.setattr(pallas_tlayout, "conv3d_tlayout_cinpad", spy)
 
-    model = UNETR(img_shape=(128, 128, 128), input_dim=4, output_dim=3)
+    model = UNETR(
+        img_shape=(128, 128, 128), input_dim=4, output_dim=3,
+        dtype=jnp.bfloat16,
+    )
     x = jax.ShapeDtypeStruct((1, 128, 128, 128, 4), jnp.float32)
     variables = jax.eval_shape(
         lambda xx: model.init(jax.random.PRNGKey(0), xx, train=False), x
@@ -467,16 +474,23 @@ def test_unetr_decoder_tlayout_routing_audit(monkeypatch):
     )
 
     # x_t is [N, D, H, C, W]: reference decoder pyramid (unetr.py:277-294
-    # in /root/reference) has 4 eligible convs at 32^3 (z6/z9u merge x2 +
-    # the 32^3 deconv-block convs of the z6/z3 branches), 3 at 64^3
-    # (z3 branch + z3/z6u merge x2), 4 at 128^3 (the Cin=4 stem via the
-    # cinpad wrapper + post-stem + final x2)
+    # in /root/reference) routes the z3-branch 128->128 convs at 64^3 and
+    # 4 convs at 128^3 (Cin=4 stem + post-stem + final x2); the Cin>=256
+    # merges and the 16^3 level stay on the XLA tap-grouped route (VMEM
+    # budget / W<32 respectively)
     from collections import Counter
 
     ws = Counter(s[-1] for s in calls)
-    assert ws == {32: 4, 64: 3, 128: 4}, ws
+    assert ws == {64: 2, 128: 4}, ws
     # Cin sublane-aligned or below 32 (cinpad zero-pads those to 32)
     assert all(s[3] % 32 == 0 or s[3] < 32 for s in calls), calls
+    # the supported() gate itself: BOTH r9 HW crash shapes are rejected
+    # at bf16 (Cin=512 Cout=256 needed 18.60M scoped vmem; Cin=256
+    # Cout=128 with bias 17.11M), while the small unet shapes stay
+    assert not pallas_tlayout.supported(512, 256, 32, jnp.bfloat16, d=32)
+    assert not pallas_tlayout.supported(256, 128, 64, jnp.bfloat16, d=64)
+    assert pallas_tlayout.supported(128, 128, 128, jnp.bfloat16)
+    assert pallas_tlayout.supported(64, 64, 64, jnp.bfloat16, d=64)
 
 
 @pytest.mark.parametrize("cin,w", [(1, 128), (4, 128), (4, 64), (48, 128)])
