@@ -33,7 +33,11 @@ def test_train_with_epoch_scan(tiny_config):
 def test_epoch_scan_requires_device_backend(tiny_config):
     from general_medical_image_segmentation_cnn_framework_tpu.train import train
 
-    tiny_config.epoch_scan = True  # threaded backend -> assertion
+    # data_backend=device is the DEFAULT since r5, so pin the non-device
+    # backend explicitly — epoch_scan must refuse it (the whole-epoch
+    # program gathers patches from a device-resident volume store)
+    tiny_config.data_backend = "threaded"
+    tiny_config.epoch_scan = True
     with pytest.raises(AssertionError):
         train(tiny_config)
 
