@@ -35,6 +35,13 @@ def test_grain_reshuffles_across_epochs(tiny_config):
 
 
 def test_make_dataset_backend_switch(tiny_config):
+    # device is the DEFAULT backend since r5 (2.6x host aug on HW)
+    from general_medical_image_segmentation_cnn_framework_tpu.data.device_prep import (
+        DevicePatchDataset,
+    )
+
+    assert isinstance(make_dataset(tiny_config), DevicePatchDataset)
+    tiny_config.data_backend = "threaded"
     assert isinstance(make_dataset(tiny_config), PatchQueueDataset)
     tiny_config.data_backend = "grain"
     assert isinstance(make_dataset(tiny_config), GrainPatchDataset)
